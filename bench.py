@@ -1,0 +1,84 @@
+"""Headline benchmark: 512x512 LargeUNet training throughput (images/sec/chip).
+
+BASELINE.json north star: >= 3x A100 images/sec/chip on the 512x512 U-Net
+train step (reference config: training_scripts/train_Large_Unet.py, LargeUNet
+at 256x256 batch 150; the driver's target lifts it to 512x512).
+
+The measured step is the REAL production train step: uint8 batch ->
+on-device normalize + fused augmentation -> bf16 LargeUNet forward ->
+CE loss -> backward -> torch-Adam-parity update, all in one donated jit.
+
+``vs_baseline`` is measured_imgs_per_sec / A100_REFERENCE_IMGS_PER_SEC where
+the denominator is our estimate of the reference PyTorch stack
+(torch.compile max-autotune + AMP) on one A100-80GB for the same model/shape;
+the reference publishes no numbers (BASELINE.md), so this constant is an
+engineering estimate, kept fixed across rounds for comparability.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+A100_REFERENCE_IMGS_PER_SEC = 100.0  # estimated torch A100 LargeUNet@512 train
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from image_segmentation_tpu.config import DataConfig, TrainConfig
+    from image_segmentation_tpu.engine.train import Trainer
+
+    batch = 16
+    size = 512
+    cfg = TrainConfig(
+        model="large_unet",
+        batch_size=batch,
+        num_epochs=1,
+        data=DataConfig(
+            dataset="synthetic",
+            synthetic_length=batch,
+            image_size=size,
+            augmentations_per_datapoint=4,
+        ),
+    )
+    trainer = Trainer(cfg, make_artifacts=False)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8)
+    )
+    masks = jnp.asarray(rng.integers(0, 3, (batch, size, size)).astype(np.uint8))
+    key = jax.random.PRNGKey(0)
+
+    # Warmup / compile.
+    for i in range(3):
+        trainer.state, loss = trainer._train_step(trainer.state, images, masks, key)
+    jax.block_until_ready(loss)
+
+    steps = 20
+    t0 = time.perf_counter()
+    for i in range(steps):
+        trainer.state, loss = trainer._train_step(trainer.state, images, masks, key)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = steps * batch / dt
+    n_chips = jax.device_count()
+    per_chip = imgs_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "large_unet_512_train_images_per_sec_per_chip",
+                "value": round(per_chip, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(per_chip / A100_REFERENCE_IMGS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""Host->device batch pipeline.
+
+Replaces the reference's DataLoader(+fork workers, pin_memory)
+(model_wrappers.py:103-108) and DistributedSampler (train_distributed.py:47-53)
+with a TPU-idiomatic design:
+
+- Epoch order is a permutation of VIRTUAL indices: each base item appears
+  ``augmentations_per_datapoint + 1`` times per epoch (the reference's index
+  replication scheme, datasets.py:150-160); the device-side augmentor then
+  keeps every (aug+1)-th *batch position* clean
+  (processing_blocks.py:374-384 semantics).
+- Per-process sharding: each JAX process takes a strided slice of every
+  global batch (replaces DistributedSampler; ``set_epoch`` == per-epoch
+  reshuffle keyed on (seed, epoch)).
+- Batches are uint8 and are placed on device with an optional
+  ``jax.sharding.NamedSharding`` (batch axis over the data mesh axis), with
+  one batch of lookahead so host slicing overlaps device compute.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+from .datasets import ArrayDataset
+
+
+def epoch_permutation(
+    num_items: int,
+    augmentations_per_datapoint: int,
+    epoch: int,
+    seed: int = 0,
+    shuffle: bool = True,
+) -> np.ndarray:
+    """Shuffled virtual->base index map for one epoch."""
+    reps = augmentations_per_datapoint + 1
+    virt = np.arange(num_items * reps) // reps
+    if shuffle:
+        rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+        rng.shuffle(virt)
+    return virt
+
+
+class BatchPipeline:
+    """Iterate (images_u8, masks_u8) device batches over an ArrayDataset.
+
+    drop_last=True keeps shapes static for the jitted train step; evaluation
+    uses drop_last=False and pays at most one extra compile for the remainder
+    shape.
+    """
+
+    def __init__(
+        self,
+        dataset: ArrayDataset,
+        batch_size: int,
+        *,
+        augmentations_per_datapoint: int = 0,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        sharding: Optional[jax.sharding.Sharding] = None,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+        mask_attr: str = "masks",
+    ):
+        self.dataset = dataset
+        self.mask_attr = mask_attr
+        self._masks = getattr(dataset, mask_attr)
+        if self._masks is None:
+            raise ValueError(
+                f"dataset has no {mask_attr!r} array (load with "
+                "keep_raw_masks=True for prompt training)"
+            )
+        self.global_batch_size = batch_size
+        self.augmentations_per_datapoint = augmentations_per_datapoint
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.sharding = sharding
+        self.process_index = (
+            jax.process_index() if process_index is None else process_index
+        )
+        self.process_count = (
+            jax.process_count() if process_count is None else process_count
+        )
+        if batch_size % self.process_count:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by process_count "
+                f"{self.process_count}"
+            )
+
+    @property
+    def virtual_length(self) -> int:
+        return len(self.dataset) * (self.augmentations_per_datapoint + 1)
+
+    def batches_per_epoch(self) -> int:
+        n, b = self.virtual_length, self.global_batch_size
+        return n // b if self.drop_last else -(-n // b)
+
+    def epoch(self, epoch: int = 0) -> Iterator[tuple]:
+        """Yield device-placed (images, masks) uint8 batches for one epoch."""
+        order = epoch_permutation(
+            len(self.dataset),
+            self.augmentations_per_datapoint,
+            epoch,
+            self.seed,
+            self.shuffle,
+        )
+        n = len(order)
+        b = self.global_batch_size
+        num_batches = self.batches_per_epoch()
+
+        def host_batch(i: int):
+            idx = order[i * b : (i + 1) * b]
+            # Per-process strided shard of the global batch.
+            idx = idx[self.process_index :: self.process_count]
+            return (
+                self.dataset.images[idx],
+                self._masks[idx],
+            )
+
+        def to_device(arrs):
+            if self.sharding is not None:
+                try:
+                    # Raises when the (remainder) batch is not divisible by
+                    # the data-axis size; fall back to replicated placement
+                    # for that final partial batch (eval path only).
+                    self.sharding.shard_shape(arrs[0].shape)
+                    return tuple(jax.device_put(a, self.sharding) for a in arrs)
+                except ValueError:
+                    pass
+            return tuple(jax.device_put(a) for a in arrs)
+
+        # One batch of lookahead: enqueue transfer i+1 before yielding i.
+        pending = to_device(host_batch(0)) if num_batches else None
+        for i in range(num_batches):
+            nxt = to_device(host_batch(i + 1)) if i + 1 < num_batches else None
+            out, pending = pending, nxt
+            yield out
+
+
+def prefetch_to_device(
+    iterator: Iterator, size: int = 2
+) -> Iterator:
+    """Generic N-deep prefetcher for already-device-mapped iterators."""
+    import collections
+
+    queue = collections.deque()
+    for item in iterator:
+        queue.append(item)
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -1,0 +1,77 @@
+"""Convolutional autoencoder (reference models/classical_autoencoder.py).
+
+Note: the reference ALSO ships an empty ``models/autoencoder.py`` that four
+scripts import from (broken imports, SURVEY.md §7 known defects).  This
+module is the working implementation under the name those scripts expect.
+
+- :class:`Encoder`  ~ classical_autoencoder.py:13-35 — 1x1 stem to 32,
+  3 downsamples 64/64/64, bottleneck ConvBlock(64); returns a dict of every
+  skip level for reuse as a segmentation backbone (line 35).
+- :class:`Decoder`  ~ classical_autoencoder.py:38-51 — 3 skip-less upsamples,
+  1x1 out conv.
+- :class:`Autoencoder` ~ classical_autoencoder.py:53-64 — sigmoid output.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import ConvBlock, ConvBlockDownsample, ConvBlockUpsample
+
+
+class Encoder(nn.Module):
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> Dict[str, jax.Array]:
+        x = x.astype(self.dtype)
+        x0 = nn.Conv(32, (1, 1), padding="VALID", dtype=self.dtype, name="input")(x)
+        x1 = ConvBlockDownsample(64, dtype=self.dtype, name="enc1")(x0, train=train)
+        x2 = ConvBlockDownsample(64, dtype=self.dtype, name="enc2")(x1, train=train)
+        x3 = ConvBlockDownsample(64, dtype=self.dtype, name="enc3")(x2, train=train)
+        bottleneck = ConvBlock(64, dtype=self.dtype, name="bottleneck")(
+            x3, train=train
+        )
+        return {
+            "x0": x0,
+            "enc1": x1,
+            "enc2": x2,
+            "enc3": x3,
+            "bottleneck": bottleneck,
+        }
+
+
+class Decoder(nn.Module):
+    out_channels: int = 3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, bottleneck: jax.Array, *, train: bool = False) -> jax.Array:
+        d1 = ConvBlockUpsample(64, dtype=self.dtype, name="dec1")(
+            bottleneck, train=train
+        )
+        d2 = ConvBlockUpsample(64, dtype=self.dtype, name="dec2")(d1, train=train)
+        d3 = ConvBlockUpsample(32, dtype=self.dtype, name="dec3")(d2, train=train)
+        out = nn.Conv(
+            self.out_channels, (1, 1), padding="VALID", dtype=self.dtype, name="out"
+        )(d3)
+        return out.astype(jnp.float32)
+
+
+class Autoencoder(nn.Module):
+    """Reconstruction AE; sigmoid output (classical_autoencoder.py:64)."""
+
+    out_channels: int = 3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        feats = Encoder(dtype=self.dtype, name="encoder")(x, train=train)
+        out = Decoder(self.out_channels, dtype=self.dtype, name="decoder")(
+            feats["bottleneck"], train=train
+        )
+        return jax.nn.sigmoid(out)

@@ -1,0 +1,165 @@
+"""Core convolutional building blocks, NHWC / bf16-first.
+
+TPU-native re-design of the reference's block zoo
+(``models/processing_blocks.py:21-133`` in MattiDeBeer/image-segmentation):
+
+- :class:`ConvBlock`            ~ reference ``ConvBlock``            (``processing_blocks.py:21-52``)
+- :class:`ConvBlockDownsample`  ~ reference ``ConvBlockDownsample``  (``processing_blocks.py:54-77``)
+- :class:`ConvBlockUpsampleSkip`~ reference ``ConvBlockUpsampleSkip``(``processing_blocks.py:79-109``)
+- :class:`ConvBlockUpsample`    ~ reference ``ConvBlockUpsample``    (``processing_blocks.py:111-133``)
+
+Differences from the reference, by design (TPU-first):
+
+- NHWC layout (XLA's native TPU conv layout) instead of NCHW.
+- Parameters are stored fp32; compute dtype defaults to bfloat16.  bf16 has
+  the fp32 exponent range, so no GradScaler is needed (the reference uses
+  AMP fp16 + GradScaler at ``model_wrappers.py:147,170-177``).
+- BatchNorm statistics are carried functionally in a ``batch_stats``
+  collection.  Stats are per-replica by default, matching the reference's
+  DDP behaviour (no SyncBatchNorm anywhere in the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch BatchNorm2d defaults: momentum=0.1 (new-stat weight), eps=1e-5.
+# flax momentum is the decay of the running stat: 1 - torch_momentum.
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
+class ConvBlock(nn.Module):
+    """[Conv3x3 -> BatchNorm -> ReLU] x2 (reference processing_blocks.py:21-52)."""
+
+    features: int
+    kernel_size: int = 3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        for i in range(2):
+            x = nn.Conv(
+                self.features,
+                (self.kernel_size, self.kernel_size),
+                padding="SAME",
+                dtype=self.dtype,
+                name=f"conv{i + 1}",
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPS,
+                dtype=self.dtype,
+                name=f"bn{i + 1}",
+            )(x)
+            x = nn.relu(x)
+        return x
+
+
+def max_pool_2x2(x: jax.Array) -> jax.Array:
+    """MaxPool2d(kernel=2, stride=2) in NHWC."""
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+class ConvBlockDownsample(nn.Module):
+    """ConvBlock followed by 2x2 max-pool (reference processing_blocks.py:54-77)."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        x = ConvBlock(self.features, dtype=self.dtype, name="conv_block")(
+            x, train=train
+        )
+        return max_pool_2x2(x)
+
+
+def resize_bilinear_align_corners(x: jax.Array, height: int, width: int) -> jax.Array:
+    """Bilinear NHWC resize with ``align_corners=True`` semantics.
+
+    Matches ``F.interpolate(mode='bilinear', align_corners=True)`` used at
+    reference processing_blocks.py:107.  Identity when the size already
+    matches (the common case for power-of-two U-Net shapes), which XLA folds
+    away entirely.
+    """
+    _, h, w, _ = x.shape
+    if (h, w) == (height, width):
+        return x
+
+    def axis_weights(in_size: int, out_size: int):
+        if out_size == 1 or in_size == 1:
+            src = jnp.zeros((out_size,), jnp.float32)
+        else:
+            src = jnp.arange(out_size, dtype=jnp.float32) * (
+                (in_size - 1) / (out_size - 1)
+            )
+        lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
+        hi = jnp.clip(lo + 1, 0, in_size - 1)
+        frac = src - lo.astype(jnp.float32)
+        return lo, hi, frac
+
+    ylo, yhi, yf = axis_weights(h, height)
+    xlo, xhi, xf = axis_weights(w, width)
+    dtype = x.dtype
+    xf32 = x.astype(jnp.float32)
+    top = xf32[:, ylo, :, :] * (1.0 - yf)[None, :, None, None] + xf32[
+        :, yhi, :, :
+    ] * yf[None, :, None, None]
+    out = top[:, :, xlo, :] * (1.0 - xf)[None, None, :, None] + top[
+        :, :, xhi, :
+    ] * xf[None, None, :, None]
+    return out.astype(dtype)
+
+
+class ConvBlockUpsampleSkip(nn.Module):
+    """ConvTranspose(k=2,s=2) -> align-corners resize to skip -> concat -> ConvBlock.
+
+    Reference processing_blocks.py:79-109.  The concat doubles the channel
+    count before the ConvBlock(2*out -> out), exactly as the reference.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip: jax.Array, *, train: bool = False) -> jax.Array:
+        x = nn.ConvTranspose(
+            self.features,
+            (2, 2),
+            strides=(2, 2),
+            padding="VALID",
+            dtype=self.dtype,
+            name="up",
+        )(x)
+        x = resize_bilinear_align_corners(x, skip.shape[1], skip.shape[2])
+        x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        return ConvBlock(self.features, dtype=self.dtype, name="conv_block")(
+            x, train=train
+        )
+
+
+class ConvBlockUpsample(nn.Module):
+    """ConvTranspose(k=2,s=2) -> ConvBlock, no skip (reference processing_blocks.py:111-133)."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        x = nn.ConvTranspose(
+            self.features,
+            (2, 2),
+            strides=(2, 2),
+            padding="VALID",
+            dtype=self.dtype,
+            name="up",
+        )(x)
+        return ConvBlock(self.features, dtype=self.dtype, name="conv_block")(
+            x, train=train
+        )

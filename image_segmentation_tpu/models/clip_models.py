@@ -1,0 +1,232 @@
+"""CLIP-conditioned segmentation models + prompt models.
+
+Re-designs of reference ``models/CLIP_models.py`` and
+``models/prompt_segmentation.py`` in NHWC/bf16 with the fused
+cross-attention op (ops/cross_attention.py):
+
+- :class:`ClipUnet`              ~ CLIP_models.py:63-134 (the flagship)
+- :class:`ClipResSegmentationModel` ~ CLIP_models.py:8-61
+- :class:`ClipAutoencoder`       ~ CLIP_models.py:136-191
+- :class:`PromptEncoder`         ~ prompt_segmentation.py:16-30
+- :class:`ClipUnetPrompt`        ~ prompt_segmentation.py:32-95
+
+The CLIP tower (and ClipRes's ResNet backbone) are frozen: their outputs are
+wrapped in ``stop_gradient`` (reference freezes via requires_grad=False,
+processing_blocks.py:215-220,268-275) and the Trainer additionally masks
+their optimizer updates (see FROZEN_PREFIXES).  BatchNorm running stats of
+the frozen ResNet still update in train mode — exactly torch's behaviour.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.cross_attention import CrossAttentionFusion
+from .blocks import ConvBlock, ConvBlockDownsample, ConvBlockUpsample, ConvBlockUpsampleSkip
+from .clip import ClipVisionTower, clip_preprocess
+from .registry import register
+from .resnet import ResNet34Features
+
+# Param subtrees whose optimizer updates are masked to zero (torch skips
+# requires_grad=False params entirely).
+FROZEN_PREFIXES = ("clip_tower", "resnet_backbone")
+
+
+class ClipUnet(nn.Module):
+    """U-Net whose bottleneck is fused with the frozen CLIP image embedding
+    via single-kv cross-attention (CLIP_models.py:63-134)."""
+
+    out_channels: int = 3
+    dtype: Any = jnp.bfloat16
+    freeze_clip: bool = True
+    clip_kwargs: Optional[Mapping] = None  # tower overrides (tests/small cfgs)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        x = x.astype(self.dtype)
+        clip_feats = ClipVisionTower(
+            dtype=self.dtype, name="clip_tower", **(self.clip_kwargs or {})
+        )(clip_preprocess(x))
+        if self.freeze_clip:
+            clip_feats = jax.lax.stop_gradient(clip_feats)
+
+        stem = nn.Conv(32, (1, 1), padding="VALID", dtype=self.dtype, name="input")(x)
+        enc1 = ConvBlockDownsample(64, dtype=self.dtype, name="enc1")(stem, train=train)
+        enc2 = ConvBlockDownsample(128, dtype=self.dtype, name="enc2")(enc1, train=train)
+        enc3 = ConvBlockDownsample(256, dtype=self.dtype, name="enc3")(enc2, train=train)
+        bottleneck = ConvBlock(512, dtype=self.dtype, name="bottleneck")(
+            enc3, train=train
+        )
+
+        attn = CrossAttentionFusion(512, num_heads=1, dtype=self.dtype,
+                                    name="cross_attention_fusion")(
+            bottleneck, clip_feats
+        )
+
+        h = ConvBlockUpsampleSkip(256, dtype=self.dtype, name="dec1")(attn, enc3, train=train)
+        h = ConvBlockUpsampleSkip(128, dtype=self.dtype, name="dec2")(h, enc2, train=train)
+        h = ConvBlockUpsampleSkip(64, dtype=self.dtype, name="dec3")(h, enc1, train=train)
+        h = ConvBlockUpsampleSkip(32, dtype=self.dtype, name="dec4")(h, stem, train=train)
+        out = nn.Conv(
+            self.out_channels, (1, 1), padding="VALID", dtype=self.dtype, name="out"
+        )(h)
+        return out.astype(jnp.float32)
+
+
+class ClipResSegmentationModel(nn.Module):
+    """Frozen ResNet34 spatial features fused with CLIP embedding, skip-less
+    upsample decoder, ConvBlock output head on concat(dec5, X)
+    (CLIP_models.py:8-61).  NB the output head is a ConvBlock (BN+ReLU), so
+    logits are non-negative — a reference quirk reproduced as-is."""
+
+    out_channels: int = 3
+    dtype: Any = jnp.bfloat16
+    freeze_clip: bool = True
+    freeze_backbone: bool = True
+    clip_kwargs: Optional[Mapping] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        x = x.astype(self.dtype)
+        clip_feats = ClipVisionTower(
+            dtype=self.dtype, name="clip_tower", **(self.clip_kwargs or {})
+        )(clip_preprocess(x))
+        if self.freeze_clip:
+            clip_feats = jax.lax.stop_gradient(clip_feats)
+        res = ResNet34Features(dtype=self.dtype, name="resnet_backbone")(
+            x, train=train
+        )
+        if self.freeze_backbone:
+            res = jax.lax.stop_gradient(res)
+
+        attn = CrossAttentionFusion(512, num_heads=4, dtype=self.dtype,
+                                    name="cross_attention_fusion")(res, clip_feats)
+
+        h = ConvBlockUpsample(256, dtype=self.dtype, name="dec1")(attn, train=train)
+        h = ConvBlockUpsample(128, dtype=self.dtype, name="dec2")(h, train=train)
+        h = ConvBlockUpsample(64, dtype=self.dtype, name="dec3")(h, train=train)
+        h = ConvBlockUpsample(32, dtype=self.dtype, name="dec4")(h, train=train)
+        h = ConvBlockUpsample(16, dtype=self.dtype, name="dec5")(h, train=train)
+        h = jnp.concatenate([h, x], axis=-1)  # 16 + 3 = 19 channels
+        out = ConvBlock(self.out_channels, dtype=self.dtype, name="out")(
+            h, train=train
+        )
+        return out.astype(jnp.float32)
+
+
+class ClipAutoencoder(nn.Module):
+    """CLIP embedding -> Linear 512->16384 -> (16,16,64) -> 3 upsamples ->
+    skip-concat with the input stem (CLIP_models.py:136-191).  A segmentation
+    model despite its name (reference docstring, CLIP_models.py:139-143)."""
+
+    out_channels: int = 3
+    dtype: Any = jnp.bfloat16
+    freeze_clip: bool = True
+    clip_kwargs: Optional[Mapping] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        x = x.astype(self.dtype)
+        clip_feats = ClipVisionTower(
+            dtype=self.dtype, name="clip_tower", **(self.clip_kwargs or {})
+        )(clip_preprocess(x))
+        if self.freeze_clip:
+            clip_feats = jax.lax.stop_gradient(clip_feats)
+
+        stem = nn.Conv(32, (1, 1), padding="VALID", dtype=self.dtype, name="input")(x)
+        b = x.shape[0]
+        bottleneck = nn.Dense(16384, dtype=self.dtype, name="coupler")(
+            clip_feats.astype(self.dtype)
+        )
+        # torch .view(-1, 64, 16, 16) is channel-major: NCHW -> NHWC transpose.
+        bottleneck = bottleneck.reshape(b, 64, 16, 16).transpose(0, 2, 3, 1)
+
+        h = ConvBlockUpsample(64, dtype=self.dtype, name="dec1")(bottleneck, train=train)
+        h = ConvBlockUpsample(64, dtype=self.dtype, name="dec2")(h, train=train)
+        h = ConvBlockUpsample(32, dtype=self.dtype, name="dec3")(h, train=train)
+        h = ConvBlockUpsampleSkip(32, dtype=self.dtype, name="dec4")(h, stem, train=train)
+        out = nn.Conv(
+            self.out_channels, (1, 1), padding="VALID", dtype=self.dtype, name="out"
+        )(h)
+        return out.astype(jnp.float32)
+
+
+class PromptEncoder(nn.Module):
+    """1-channel heatmap -> 3 downsamples -> ConvBlock(512) at /8
+    (prompt_segmentation.py:16-30)."""
+
+    out_features: int = 512
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, prompt: jax.Array, *, train: bool = False) -> jax.Array:
+        h = ConvBlockDownsample(32, dtype=self.dtype, name="enc1")(
+            prompt.astype(self.dtype), train=train
+        )
+        h = ConvBlockDownsample(64, dtype=self.dtype, name="enc2")(h, train=train)
+        h = ConvBlockDownsample(128, dtype=self.dtype, name="enc3")(h, train=train)
+        return ConvBlock(self.out_features, dtype=self.dtype, name="conv")(
+            h, train=train
+        )
+
+
+class ClipUnetPrompt(nn.Module):
+    """ClipUnet + prompt branch fused at the bottleneck
+    (prompt_segmentation.py:32-95); 1-channel binary logits out."""
+
+    out_channels: int = 1
+    dtype: Any = jnp.bfloat16
+    freeze_clip: bool = True
+    clip_kwargs: Optional[Mapping] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, prompt: jax.Array, *, train: bool = False
+    ) -> jax.Array:
+        x = x.astype(self.dtype)
+        if prompt.ndim == 3:
+            prompt = prompt[..., None]
+        clip_feats = ClipVisionTower(
+            dtype=self.dtype, name="clip_tower", **(self.clip_kwargs or {})
+        )(clip_preprocess(x))
+        if self.freeze_clip:
+            clip_feats = jax.lax.stop_gradient(clip_feats)
+
+        stem = nn.Conv(32, (1, 1), padding="VALID", dtype=self.dtype, name="input")(x)
+        enc1 = ConvBlockDownsample(64, dtype=self.dtype, name="enc1")(stem, train=train)
+        enc2 = ConvBlockDownsample(128, dtype=self.dtype, name="enc2")(enc1, train=train)
+        enc3 = ConvBlockDownsample(256, dtype=self.dtype, name="enc3")(enc2, train=train)
+        bottleneck = ConvBlock(512, dtype=self.dtype, name="bottleneck")(
+            enc3, train=train
+        )
+
+        prompt_emb = PromptEncoder(512, dtype=self.dtype, name="prompt_encoder")(
+            prompt, train=train
+        )
+        attn = CrossAttentionFusion(512, num_heads=1, dtype=self.dtype,
+                                    name="cross_attention_fusion")(
+            bottleneck, clip_feats
+        )
+        fused = jnp.concatenate([attn.astype(self.dtype), prompt_emb], axis=-1)
+        fused = nn.Conv(
+            512, (1, 1), padding="VALID", dtype=self.dtype, name="prompt_fusion"
+        )(fused)
+
+        h = ConvBlockUpsampleSkip(256, dtype=self.dtype, name="dec1")(fused, enc3, train=train)
+        h = ConvBlockUpsampleSkip(128, dtype=self.dtype, name="dec2")(h, enc2, train=train)
+        h = ConvBlockUpsampleSkip(64, dtype=self.dtype, name="dec3")(h, enc1, train=train)
+        h = ConvBlockUpsampleSkip(32, dtype=self.dtype, name="dec4")(h, stem, train=train)
+        out = nn.Conv(
+            self.out_channels, (1, 1), padding="VALID", dtype=self.dtype, name="out"
+        )(h)
+        return out.astype(jnp.float32)
+
+
+register("clip_unet")(lambda **kw: ClipUnet(**kw))
+register("clip_res")(lambda **kw: ClipResSegmentationModel(**kw))
+register("clip_autoencoder")(lambda **kw: ClipAutoencoder(**kw))
+register("clip_unet_prompt")(lambda **kw: ClipUnetPrompt(**kw))

