@@ -55,6 +55,9 @@ class TrainConfig:
     save_dir: str = "saved-models"
     checkpoint_every: int = 1            # epochs (prompt path uses 5: prompt_train.py:135)
     bf16: bool = True
+    # Rematerialize the forward pass in backward (jax.checkpoint): trades
+    # ~1/3 extra FLOPs for activation memory, unlocking larger batches.
+    remat: bool = False
     # parallelism
     n_model_shards: int = 1
 

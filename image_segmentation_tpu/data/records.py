@@ -84,6 +84,18 @@ def binary_any_animal_mask(raw_mask: np.ndarray) -> np.ndarray:
     return seg, label
 
 
+def binary_any_animal_batch(raw_masks: np.ndarray):
+    """Batched :func:`binary_any_animal_mask`: (segs (N,H,W) uint8,
+    labels (N,) uint8 with 0=cat image, 1=dog image)."""
+    segs = (
+        (raw_masks == CAT_PALETTE)
+        | (raw_masks == DOG_PALETTE)
+        | (raw_masks == UNCERTAIN_PALETTE)
+    ).astype(np.uint8)
+    labels = (~(raw_masks == CAT_PALETTE).any(axis=(1, 2))).astype(np.uint8)
+    return segs, labels
+
+
 def class_presence_masks(raw_mask: np.ndarray):
     """(cat, dog, background) float32 masks for the prompt dataset.
 

@@ -215,14 +215,19 @@ class Trainer:
 
     # ------------------------------------------------------------------ jit
     def _apply_train(self, params, batch_stats, *inputs):
-        variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-            out, mutated = self.model.apply(
-                variables, *inputs, train=True, mutable=["batch_stats"]
-            )
-            return out, mutated["batch_stats"]
-        return self.model.apply(variables, *inputs, train=True), batch_stats
+        def apply(params, batch_stats, *inputs):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+                out, mutated = self.model.apply(
+                    variables, *inputs, train=True, mutable=["batch_stats"]
+                )
+                return out, mutated["batch_stats"]
+            return self.model.apply(variables, *inputs, train=True), batch_stats
+
+        if self.config.remat:
+            apply = jax.checkpoint(apply)
+        return apply(params, batch_stats, *inputs)
 
     def _apply_eval(self, params, batch_stats, *inputs):
         variables = {"params": params}
@@ -251,9 +256,11 @@ class Trainer:
                     ka, images, masks, prompts_map
                 )
             return (images, prompts_map), {"images": images, "masks": masks}
-        masks = masks_u8.astype(jnp.int32)
         if augment and self.augmentor is not None and self.task != "reconstruction":
-            images, masks = self.augmentor(ka, images, masks)
+            # uint8-space geometry: identical results, 4x less gather traffic.
+            images, masks = self.augmentor.apply_u8(ka, images_u8, masks_u8)
+        else:
+            masks = masks_u8.astype(jnp.int32)
         return (images,), {"images": images, "masks": masks}
 
     def _build_train_step(self):

@@ -71,15 +71,74 @@ def _rotate_one(chw: jax.Array, angle_deg: jax.Array) -> jax.Array:
     return jnp.where(valid[..., None], out, jnp.zeros((), chw.dtype))
 
 
+def _rotate_two_pass(stacked: jax.Array, angles_deg: jax.Array) -> jax.Array:
+    """Per-sample nearest rotation as quarter-turn + two axis gathers.
+
+    The direct formulation (`_rotate_one`) is a 2-D gather, which lowers to
+    the TPU scalar core (~32 ms for a 16x512x512x4 uint8 batch); single-axis
+    `take_along_axis` gathers lower vector-wide (~0.7 ms each).  Decompose:
+
+        R(theta) = R(phi) o R(90 k),   k = round(theta/90), |phi| <= 45
+
+    R(90k) is an exact flip/transpose permutation; R(phi) factors into a
+    row gather then a column gather (tan(phi) and 1/cos(phi) bounded by
+    sqrt(2), so compounded rounding differs from the direct nearest map only
+    on sub-pixel boundary ties).  Requires square images (H == W) for the
+    conditional quarter-turn.  Zero fill outside, matching `_rotate_one`.
+    """
+    n, h, w, c = stacked.shape
+    if h != w:
+        return jax.vmap(_rotate_one)(stacked, angles_deg)
+
+    quarter = jnp.round(angles_deg / 90.0)  # in {-1, 0, 1} for |angle|<=90
+    phi = (angles_deg - quarter * 90.0) * (jnp.pi / 180.0)
+
+    # Conditional quarter turn (visual CCW for +90 with y pointing down).
+    x_t = jnp.swapaxes(stacked, 1, 2)
+    rot_ccw = x_t[:, ::-1, :, :]   # np.rot90(k=1) == flip(transpose, axis=0)
+    rot_cw = x_t[:, :, ::-1, :]
+    q = quarter[:, None, None, None]
+    base = jnp.where(q == 1, rot_ccw, jnp.where(q == -1, rot_cw, stacked))
+    # Materialize: if the select-of-transposes stays fused into the gather
+    # operand, XLA lowers the gather on the scalar core (~100x slower).
+    base = jax.lax.optimization_barrier(base)
+
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    cos = jnp.cos(phi)[:, None, None]
+    sin = jnp.sin(phi)[:, None, None]
+    tan = (jnp.sin(phi) / jnp.cos(phi))[:, None, None]
+    yy = jax.lax.broadcasted_iota(jnp.float32, (n, h, w), 1) - cy
+    xx = jax.lax.broadcasted_iota(jnp.float32, (n, h, w), 2) - cx
+
+    # Pass 1 (gather along H): tmp[y, x'] = base[tan*x'' + y''/cos + cy, x']
+    src_y = tan * xx + yy / cos + cy
+    iy = jnp.round(src_y).astype(jnp.int32)
+    valid1 = (iy >= 0) & (iy < h)
+    tmp = jnp.take_along_axis(
+        base, jnp.clip(iy, 0, h - 1)[..., None], axis=1
+    )
+    tmp = jnp.where(valid1[..., None], tmp, jnp.zeros((), stacked.dtype))
+
+    # Pass 2 (gather along W): out[y, x] = tmp[y, cos*x'' - sin*y'' + cx]
+    src_x = cos * xx - sin * yy + cx
+    ix = jnp.round(src_x).astype(jnp.int32)
+    valid2 = (ix >= 0) & (ix < w)
+    out = jnp.take_along_axis(tmp, jnp.clip(ix, 0, w - 1)[..., None], axis=2)
+    return jnp.where(valid2[..., None], out, jnp.zeros((), stacked.dtype))
+
+
 def random_geometric(
     key: jax.Array,
     stacked: jax.Array,
     max_degrees: float = 90.0,
+    method: str = "two_pass",
 ) -> jax.Array:
     """Per-sample random hflip + rotation on an NHWC stack (image||mask||...).
 
     All channels share the SAME geometry per sample, reproducing the
     reference's channel-concatenation trick (processing_blocks.py:362-364).
+    ``method``: "two_pass" (fast axis-gather decomposition, default) or
+    "gather" (direct 2-D nearest map — the exactness oracle).
     """
     n, h, w, c = stacked.shape
     k_flip, k_rot = jax.random.split(key)
@@ -88,6 +147,9 @@ def random_geometric(
         k_rot, (n,), minval=-max_degrees, maxval=max_degrees
     )
     flipped = jnp.where(flip[:, None, None, None], stacked[:, :, ::-1, :], stacked)
+    flipped = jax.lax.optimization_barrier(flipped)
+    if method == "two_pass":
+        return _rotate_two_pass(flipped, angles)
     return jax.vmap(_rotate_one)(flipped, angles)
 
 
@@ -109,11 +171,13 @@ def _rgb_to_hsv(rgb: jax.Array):
     rc = (maxc - r) / safe
     gc = (maxc - g) / safe
     bc = (maxc - b) / safe
-    h = jnp.where(
-        maxc == r,
-        bc - gc,
-        jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc),
-    )
+    # Branch selection by ORDER comparisons, not `maxc == r` equality:
+    # XLA may recompute maxc and r in different fusions (FMA contraction),
+    # making exact-equality all-false and falling through to the wrong
+    # sextant (a whole-channel permutation, not an epsilon error).
+    is_r = (r >= g) & (r >= b)
+    is_g = (~is_r) & (g >= b)
+    h = jnp.where(is_r, bc - gc, jnp.where(is_g, 2.0 + rc - bc, 4.0 + gc - rc))
     h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
     return h, s, v
 
@@ -136,6 +200,51 @@ def _hsv_to_rgb(h: jax.Array, s: jax.Array, v: jax.Array) -> jax.Array:
     return rgb
 
 
+def sample_jitter_factors(
+    key: jax.Array,
+    n: int,
+    brightness: float = 0.4,
+    contrast: float = 0.3,
+    saturation: float = 0.2,
+    hue: float = 0.2,
+) -> jax.Array:
+    """(N, 4) per-sample [brightness, contrast, saturation, hue] factors with
+    torchvision semantics: factor ~ U(max(0,1-x), 1+x); hue ~ U(-hue, hue)."""
+    kb, kc, ks, kh = jax.random.split(key, 4)
+
+    def u(k, x):
+        return jax.random.uniform(k, (n,), minval=max(0.0, 1.0 - x), maxval=1.0 + x)
+
+    return jnp.stack(
+        [
+            u(kb, brightness),
+            u(kc, contrast),
+            u(ks, saturation),
+            jax.random.uniform(kh, (n,), minval=-hue, maxval=hue),
+        ],
+        axis=1,
+    )
+
+
+def apply_color_jitter(images: jax.Array, factors: jax.Array) -> jax.Array:
+    """Apply (N, 4) jitter factors in fixed order b->c->s->h."""
+    fb = factors[:, 0][:, None, None, None]
+    fc = factors[:, 1][:, None, None, None]
+    fs = factors[:, 2][:, None, None, None]
+    fh = factors[:, 3][:, None, None]
+
+    img = jnp.clip(images * fb, 0.0, 1.0)
+    gray_mean = jnp.mean(
+        jnp.einsum("nhwc,c->nhw", img, _GRAY_WEIGHTS), axis=(1, 2)
+    )[:, None, None, None]
+    img = jnp.clip(fc * img + (1.0 - fc) * gray_mean, 0.0, 1.0)
+    gray = jnp.einsum("nhwc,c->nhw", img, _GRAY_WEIGHTS)[..., None]
+    img = jnp.clip(fs * img + (1.0 - fs) * gray, 0.0, 1.0)
+    h, s, v = _rgb_to_hsv(img)
+    img = _hsv_to_rgb((h + fh) % 1.0, s, v)
+    return jnp.clip(img, 0.0, 1.0)
+
+
 def color_jitter(
     key: jax.Array,
     images: jax.Array,
@@ -144,56 +253,28 @@ def color_jitter(
     saturation: float = 0.2,
     hue: float = 0.2,
 ) -> jax.Array:
-    """Per-sample colour jitter with torchvision factor semantics.
-
-    brightness/contrast/saturation factors ~ U(max(0,1-x), 1+x) multiply /
-    blend; hue shift ~ U(-hue, hue) as a fraction of the colour wheel.
-    """
-    n = images.shape[0]
-    kb, kc, ks, kh = jax.random.split(key, 4)
-
-    def factors(k, x):
-        return jax.random.uniform(
-            k, (n, 1, 1, 1), minval=max(0.0, 1.0 - x), maxval=1.0 + x
-        )
-
-    img = images
-    # brightness
-    img = jnp.clip(img * factors(kb, brightness), 0.0, 1.0)
-    # contrast: blend with the per-image mean of the grayscale channel
-    gray_mean = jnp.mean(
-        jnp.einsum("nhwc,c->nhw", img, _GRAY_WEIGHTS), axis=(1, 2)
-    )[:, None, None, None]
-    fc = factors(kc, contrast)
-    img = jnp.clip(fc * img + (1.0 - fc) * gray_mean, 0.0, 1.0)
-    # saturation: blend with per-pixel grayscale
-    gray = jnp.einsum("nhwc,c->nhw", img, _GRAY_WEIGHTS)[..., None]
-    fs = factors(ks, saturation)
-    img = jnp.clip(fs * img + (1.0 - fs) * gray, 0.0, 1.0)
-    # hue
-    fh = jax.random.uniform(kh, (n, 1, 1), minval=-hue, maxval=hue)
-    h, s, v = _rgb_to_hsv(img)
-    img = _hsv_to_rgb((h + fh) % 1.0, s, v)
-    return jnp.clip(img, 0.0, 1.0)
-
-
-def gaussian_blur_5x5(key: jax.Array, images: jax.Array,
-                      sigma_range: Tuple[float, float] = (0.1, 2.0)) -> jax.Array:
-    """Per-sample separable 5x5 Gaussian blur, sigma ~ U(lo, hi), p=1.
-
-    kornia RandomGaussianBlur((5,5), (0.1,2.0), p=1) with reflect padding.
-    Implemented as 5-tap shift-and-weight along H then W so each sample can
-    carry its own kernel without per-sample convolutions (stays on the VPU,
-    fuses with the jitter ops).
-    """
-    n = images.shape[0]
-    sigma = jax.random.uniform(
-        key, (n,), minval=sigma_range[0], maxval=sigma_range[1]
+    """Per-sample colour jitter (sampling + application)."""
+    factors = sample_jitter_factors(
+        key, images.shape[0], brightness, contrast, saturation, hue
     )
+    return apply_color_jitter(images, factors)
+
+
+def sample_blur_weights(
+    key: jax.Array, n: int, sigma_range: Tuple[float, float] = (0.1, 2.0)
+) -> jax.Array:
+    """(N, 5) normalized 5-tap Gaussian weights, sigma ~ U(lo, hi)."""
+    sigma = jax.random.uniform(key, (n,), minval=sigma_range[0], maxval=sigma_range[1])
     x = jnp.arange(-2, 3, dtype=jnp.float32)
     k = jnp.exp(-0.5 * (x[None, :] / sigma[:, None]) ** 2)
-    k = k / jnp.sum(k, axis=1, keepdims=True)  # (N, 5)
+    return k / jnp.sum(k, axis=1, keepdims=True)
 
+
+def apply_gaussian_blur_5x5(images: jax.Array, weights: jax.Array) -> jax.Array:
+    """Separable 5-tap blur with per-sample (N, 5) weights, reflect padding.
+
+    Shift-and-weight keeps everything on the VPU and fuses with the jitter.
+    """
     def blur_axis(img, axis):
         pad = [(0, 0)] * 4
         pad[axis] = (2, 2)
@@ -202,10 +283,18 @@ def gaussian_blur_5x5(key: jax.Array, images: jax.Array,
         length = img.shape[axis]
         for tap in range(5):
             sl = jax.lax.slice_in_dim(p, tap, tap + length, axis=axis)
-            total = total + sl * k[:, tap][:, None, None, None]
+            total = total + sl * weights[:, tap][:, None, None, None]
         return total
 
     return blur_axis(blur_axis(images, 1), 2)
+
+
+def gaussian_blur_5x5(key: jax.Array, images: jax.Array,
+                      sigma_range: Tuple[float, float] = (0.1, 2.0)) -> jax.Array:
+    """Per-sample 5x5 Gaussian blur, sigma ~ U(lo, hi), p=1
+    (kornia RandomGaussianBlur((5,5), (0.1,2.0), p=1))."""
+    weights = sample_blur_weights(key, images.shape[0], sigma_range)
+    return apply_gaussian_blur_5x5(images, weights)
 
 
 # ---------------------------------------------------------------------------
@@ -228,6 +317,33 @@ class DataAugmentor:
 
     augmentations_per_datapoint: int = 4
     max_degrees: float = 90.0
+    # "xla": fused by the compiler; "pallas": ops/pallas_preprocess.py fused
+    # kernel for the colour+blur stage (identical results, tested).
+    backend: str = "xla"
+    # rotation implementation: "two_pass" axis gathers or direct 2-D "gather"
+    geometry: str = "two_pass"
+
+    def _colour_stage(self, kc, kb, images_u8_or_f32, *, from_u8: bool, dtype):
+        """normalize (if from u8) + jitter + blur via the selected backend."""
+        n = images_u8_or_f32.shape[0]
+        factors = sample_jitter_factors(kc, n)
+        weights = sample_blur_weights(kb, n)
+        if self.backend == "pallas" and from_u8:
+            from .pallas_preprocess import pallas_preprocess
+
+            return pallas_preprocess(
+                images_u8_or_f32, factors, weights, out_dtype=dtype
+            )
+        img = (
+            normalize_image(images_u8_or_f32, dtype)
+            if from_u8
+            else images_u8_or_f32
+        )
+        # Barrier: without it XLA fuses the (gather + jitter) producer into
+        # every blur tap, recomputing it ~5x (measured 36ms vs 5ms for the
+        # sum of stages on a v5e at batch 16 @ 512^2).
+        img = jax.lax.optimization_barrier(apply_color_jitter(img, factors))
+        return apply_gaussian_blur_5x5(img, weights)
 
     def __call__(
         self, key: jax.Array, images: jax.Array, masks: jax.Array
@@ -236,15 +352,43 @@ class DataAugmentor:
         stacked = jnp.concatenate(
             [images, masks.astype(images.dtype)[..., None]], axis=-1
         )
-        stacked = random_geometric(kg, stacked, self.max_degrees)
+        stacked = random_geometric(kg, stacked, self.max_degrees, self.geometry)
         aug_images = stacked[..., :3]
         aug_masks = stacked[..., 3].astype(masks.dtype)
-        aug_images = color_jitter(kc, aug_images)
-        aug_images = gaussian_blur_5x5(kb, aug_images)
+        aug_images = self._colour_stage(
+            kc, kb, aug_images, from_u8=False, dtype=aug_images.dtype
+        )
 
         clean = _clean_slots(images.shape[0], self.augmentations_per_datapoint + 1)
         out_images = jnp.where(clean[:, None, None, None], images, aug_images)
         out_masks = jnp.where(clean[:, None, None], masks, aug_masks)
+        return out_images, out_masks
+
+    def apply_u8(
+        self,
+        key: jax.Array,
+        images_u8: jax.Array,
+        masks_u8: jax.Array,
+        dtype=jnp.float32,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Bandwidth-optimized path: the geometric gather runs in uint8
+        (nearest resampling is value-preserving, so results are IDENTICAL to
+        the float path) — 4x less HBM traffic through the rotation; colour
+        ops then run in ``dtype``.  Returns ([0,1] images, int32 masks)."""
+        kg, kc, kb = jax.random.split(key, 3)
+        stacked = jnp.concatenate([images_u8, masks_u8[..., None]], axis=-1)
+        stacked = random_geometric(kg, stacked, self.max_degrees, self.geometry)
+        aug_masks = stacked[..., 3].astype(jnp.int32)
+        aug_images = self._colour_stage(
+            kc, kb, stacked[..., :3], from_u8=True, dtype=dtype
+        )
+
+        clean = _clean_slots(images_u8.shape[0], self.augmentations_per_datapoint + 1)
+        clean_images = normalize_image(images_u8, dtype)
+        out_images = jnp.where(clean[:, None, None, None], clean_images, aug_images)
+        out_masks = jnp.where(
+            clean[:, None, None], masks_u8.astype(jnp.int32), aug_masks
+        )
         return out_images, out_masks
 
 

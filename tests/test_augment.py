@@ -57,6 +57,46 @@ class TestGeometric:
         np.testing.assert_array_equal(out2[..., 0], out2[..., 1])
 
 
+class TestTwoPassRotation:
+    def test_exact_at_quarter_turns(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.integers(0, 256, (3, 32, 32, 4), dtype=np.uint8))
+        for deg in (0.0, 90.0, -90.0):
+            a = jnp.full((3,), deg, jnp.float32)
+            direct = jax.vmap(augment._rotate_one)(x, a)
+            fast = augment._rotate_two_pass(x, a)
+            np.testing.assert_array_equal(np.asarray(direct), np.asarray(fast))
+
+    def test_subpixel_agreement_with_direct_gather(self):
+        """two_pass may pick a neighbouring source pixel on rounding ties;
+        the sampled source coordinate must stay within ~1px of the direct
+        2-D gather (checked by encoding coordinates as channel values)."""
+        h = w = 64
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        coord = np.stack([yy, xx], -1).astype(np.float32)
+        x = jnp.asarray(np.tile(coord[None], (4, 1, 1, 1)))
+        a = jnp.asarray(np.array([45.0, 30.0, -45.0, 60.0], np.float32))
+        direct = np.asarray(jax.vmap(augment._rotate_one)(x, a))
+        fast = np.asarray(augment._rotate_two_pass(x, a))
+        inner = np.zeros((h, w), bool)
+        inner[8:-8, 8:-8] = True
+        d = np.abs(direct - fast)[:, inner, :]
+        assert d.mean() < 0.2
+        assert (d > 1.5).mean() < 1e-3
+
+    def test_channels_move_jointly(self):
+        rng = np.random.default_rng(3)
+        ident = jnp.asarray(
+            np.tile(
+                np.arange(16 * 16, dtype=np.float32).reshape(1, 16, 16, 1),
+                (2, 1, 1, 2),
+            )
+        )
+        a = jnp.asarray(np.array([33.0, -71.0], np.float32))
+        out = np.asarray(augment._rotate_two_pass(ident, a))
+        np.testing.assert_array_equal(out[..., 0], out[..., 1])
+
+
 class TestColorJitter:
     def test_output_in_range(self):
         images, _ = batch()
@@ -109,6 +149,24 @@ class TestCleanSlots:
         images, masks = batch(n=6)
         out_i, out_m = augment.DataAugmentor(2)(KEY, images, masks)
         assert set(np.unique(np.asarray(out_m))).issubset({0, 1, 2})
+
+
+class TestU8Path:
+    def test_u8_path_matches_float_path(self):
+        """uint8-space geometry must give bit-identical results to the float
+        path (nearest resampling preserves values)."""
+        rng = np.random.default_rng(7)
+        images_u8 = jnp.asarray(rng.integers(0, 256, (6, 16, 16, 3), dtype=np.uint8))
+        masks_u8 = jnp.asarray(rng.integers(0, 3, (6, 16, 16)).astype(np.uint8))
+        augmentor = augment.DataAugmentor(2)
+        f_images, f_masks = augmentor(
+            KEY, augment.normalize_image(images_u8), masks_u8.astype(jnp.int32)
+        )
+        u_images, u_masks = augmentor.apply_u8(KEY, images_u8, masks_u8)
+        np.testing.assert_allclose(
+            np.asarray(u_images), np.asarray(f_images), atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(u_masks), np.asarray(f_masks))
 
 
 class TestPromptAugmentor:

@@ -1,0 +1,80 @@
+"""C++ batch assembler (runtime/loader.cpp) vs the Python pipeline."""
+
+import numpy as np
+import pytest
+
+from image_segmentation_tpu.data.datasets import synthetic_dataset
+
+nl = pytest.importorskip("image_segmentation_tpu.data.native_loader")
+
+if not nl.native_loader_available():
+    pytest.skip("no C++ toolchain available", allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return synthetic_dataset(length=10, height=8, width=8, seed=3)
+
+
+def test_batches_cover_dataset_without_shuffle(ds):
+    pipe = nl.NativeBatchPipeline(ds, 5, shuffle=False)
+    assert pipe.batches_per_epoch() == 2
+    got_imgs = []
+    for imgs, masks in pipe.epoch(0):
+        assert imgs.shape == (5, 8, 8, 3)
+        assert masks.shape == (5, 8, 8)
+        got_imgs.append(np.asarray(imgs))
+    got = np.concatenate(got_imgs)
+    np.testing.assert_array_equal(got, ds.images)
+
+
+def test_replication_counts(ds):
+    pipe = nl.NativeBatchPipeline(
+        ds, 10, augmentations_per_datapoint=1, shuffle=True, seed=7
+    )
+    assert pipe.batches_per_epoch() == 2
+    seen = []
+    for imgs, _ in pipe.epoch(0):
+        seen.append(np.asarray(imgs))
+    allimgs = np.concatenate(seen)
+    # every base item appears exactly twice
+    matches = (
+        (allimgs[None] == ds.images[:, None]).all(axis=(2, 3, 4)).sum(axis=1)
+    )
+    assert (matches == 2).all()
+
+
+def test_shuffle_differs_per_epoch(ds):
+    pipe = nl.NativeBatchPipeline(ds, 10, shuffle=True, seed=7)
+    e0 = np.concatenate([np.asarray(i) for i, _ in pipe.epoch(0)])
+    e1 = np.concatenate([np.asarray(i) for i, _ in pipe.epoch(1)])
+    e0b = np.concatenate([np.asarray(i) for i, _ in pipe.epoch(0)])
+    assert not np.array_equal(e0, e1)
+    np.testing.assert_array_equal(e0, e0b)  # deterministic per (seed, epoch)
+
+
+def test_process_sharding(ds):
+    full = nl.NativeBatchPipeline(ds, 10, shuffle=False)
+    fb = np.asarray(next(iter(full.epoch(0)))[0])
+    shard0 = nl.NativeBatchPipeline(
+        ds, 10, shuffle=False, process_index=0, process_count=2
+    )
+    shard1 = nl.NativeBatchPipeline(
+        ds, 10, shuffle=False, process_index=1, process_count=2
+    )
+    s0 = np.asarray(next(iter(shard0.epoch(0)))[0])
+    s1 = np.asarray(next(iter(shard1.epoch(0)))[0])
+    np.testing.assert_array_equal(fb[0::2], s0)
+    np.testing.assert_array_equal(fb[1::2], s1)
+
+
+def test_masks_track_images(ds):
+    pipe = nl.NativeBatchPipeline(ds, 5, shuffle=True, seed=11)
+    for imgs, masks in pipe.epoch(0):
+        imgs, masks = np.asarray(imgs), np.asarray(masks)
+        for i in range(len(imgs)):
+            src = np.where((ds.images == imgs[i]).all(axis=(1, 2, 3)))[0]
+            assert len(src) >= 1
+            assert any(
+                np.array_equal(masks[i], ds.masks[s]) for s in src
+            )
