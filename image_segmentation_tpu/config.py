@@ -93,6 +93,11 @@ def preset(name: str) -> TrainConfig:
             model="autoencoder", loss="mse", batch_size=16, num_epochs=200,
             data=DataConfig(augmentations_per_datapoint=0),
         ),
+        "segment_classifier": TrainConfig(
+            model="clip_res_class", loss="class_binary", batch_size=16,
+            num_epochs=200,
+            data=DataConfig(augmentations_per_datapoint=2),
+        ),
         "prompt": TrainConfig(
             model="clip_unet_prompt", loss="hybrid_binary", batch_size=32,
             num_epochs=100, checkpoint_every=5,

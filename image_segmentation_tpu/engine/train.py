@@ -89,6 +89,20 @@ def make_loss_fn(name: str) -> Callable:
         return lambda logits, batch: jnp.mean(
             (logits.astype(jnp.float32) - batch["images"]) ** 2
         )
+    if name == "class_binary":
+        # Joint mask BCE + classification BCE (the loss the reference's
+        # broken segment_classifier_model_train.py intends).
+        def class_loss(outputs, batch):
+            mask_logits, class_logits = outputs
+            seg = L.bce_with_logits(
+                jnp.squeeze(mask_logits, -1), batch["masks"].astype(jnp.float32)
+            )
+            cls = L.bce_with_logits(
+                jnp.squeeze(class_logits, -1), batch["labels"].astype(jnp.float32)
+            )
+            return seg + cls
+
+        return class_loss
     raise KeyError(f"unknown loss {name!r}")
 
 
@@ -129,7 +143,11 @@ class Trainer:
         make_artifacts: bool = True,
     ):
         self.config = config
-        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.mesh = (
+            mesh
+            if mesh is not None
+            else mesh_lib.make_mesh(n_model=config.n_model_shards)
+        )
         n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
         if config.batch_size % n_data:
             raise ValueError(
@@ -141,20 +159,23 @@ class Trainer:
         self.model_name = type(self.model).__name__
 
         # Task selection: prompt models take (image, prompt) inputs and
-        # binary labels generated on device; 'mse' reconstructs the input.
-        self.task = (
-            "prompt"
-            if config.model == "clip_unet_prompt"
-            else ("reconstruction" if config.loss == "mse" else "segmentation")
-        )
+        # binary labels generated on device; 'class' adds a cat/dog label;
+        # 'mse' reconstructs the input.
+        if config.model == "clip_unet_prompt":
+            self.task = "prompt"
+        elif config.model == "clip_res_class":
+            self.task = "class"
+        elif config.loss == "mse":
+            self.task = "reconstruction"
+        else:
+            self.task = "segmentation"
 
+        needs_raw = self.task in ("prompt", "class")
         self.train_data = train_data or _dataset_from_config(
-            config, config.data.train_split, True,
-            keep_raw_masks=self.task == "prompt",
+            config, config.data.train_split, True, keep_raw_masks=needs_raw
         )
         self.val_data = val_data or _dataset_from_config(
-            config, config.data.val_split, False,
-            keep_raw_masks=self.task == "prompt",
+            config, config.data.val_split, False, keep_raw_masks=needs_raw
         )
 
         self.loss_fn = make_loss_fn(config.loss)
@@ -189,7 +210,11 @@ class Trainer:
             "opt_state": self.tx.init(params),
             "step": jnp.zeros((), jnp.int32),
         }
-        self.state = mesh_lib.replicate(self.mesh, state)
+        if self.mesh.shape[mesh_lib.MODEL_AXIS] > 1:
+            # Tensor parallelism: large kernels sharded over the model axis.
+            self.state = mesh_lib.shard_params_tp(self.mesh, state)
+        else:
+            self.state = mesh_lib.replicate(self.mesh, state)
         self.base_key = jax.random.PRNGKey(config.seed)
 
         # ---- artifacts ----------------------------------------------------
@@ -246,6 +271,24 @@ class Trainer:
         """
         kp, ka = jax.random.split(key)
         images = aug_ops.normalize_image(images_u8)
+        if self.task == "class":
+            # ClassImageDataset semantics on device (datasets.py:442-459):
+            # binary any-animal mask (cat|dog|uncertain), label 0=cat 1=dog.
+            from ..data import records
+
+            seg_u8 = (
+                (masks_u8 == records.CAT_PALETTE)
+                | (masks_u8 == records.DOG_PALETTE)
+                | (masks_u8 == records.UNCERTAIN_PALETTE)
+            ).astype(jnp.uint8)
+            labels = 1.0 - jnp.any(
+                masks_u8 == records.CAT_PALETTE, axis=(1, 2)
+            ).astype(jnp.float32)
+            if augment and self.augmentor is not None:
+                images, seg = self.augmentor.apply_u8(ka, images_u8, seg_u8)
+            else:
+                seg = seg_u8.astype(jnp.int32)
+            return (images,), {"images": images, "masks": seg, "labels": labels}
         if self.task == "prompt":
             prompts_map, labels = make_prompt_batch(
                 kp, masks_u8, self.config.data.prompt_gaussian_sigma
@@ -298,6 +341,7 @@ class Trainer:
         loss_fn = self.loss_fn
         is_binary = self.is_binary
         is_recon = self.is_reconstruction
+        is_class = self.task == "class"
 
         def step(state, images_u8, masks_u8, key):
             inputs, batch = self._prepare_batch(
@@ -306,6 +350,14 @@ class Trainer:
             masks = batch["masks"]
             logits = self._apply_eval(state["params"], state["batch_stats"], *inputs)
             loss = loss_fn(logits, batch)
+            if is_class:
+                mask_logits, _ = logits
+                return (
+                    loss,
+                    L.iou_binary(mask_logits, masks),
+                    L.pixel_accuracy_binary(mask_logits, masks),
+                    L.dice_score_binary(mask_logits, masks),
+                )
             if is_recon:
                 zero = jnp.zeros((), jnp.float32)
                 return loss, zero, zero, zero
@@ -325,7 +377,7 @@ class Trainer:
     def _pipelines(self):
         cfg = self.config
         shard = mesh_lib.batch_sharding(self.mesh)
-        mask_attr = "raw_masks" if self.task == "prompt" else "masks"
+        mask_attr = "raw_masks" if self.task in ("prompt", "class") else "masks"
         train_pipe = data_pipeline.BatchPipeline(
             self.train_data,
             cfg.batch_size,
@@ -348,7 +400,9 @@ class Trainer:
         )
         return train_pipe, val_pipe
 
-    def train(self, num_epochs: Optional[int] = None) -> Dict[str, Any]:
+    def train(
+        self, num_epochs: Optional[int] = None, *, verbose: bool = False
+    ) -> Dict[str, Any]:
         cfg = self.config
         num_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
         train_pipe, val_pipe = self._pipelines()
@@ -375,6 +429,21 @@ class Trainer:
                 **val,
             )
             history.append(row)
+            if verbose and jax.process_index() == 0:
+                # Reference epoch summary (model_wrappers.py:226-243).
+                from ..utils.profiling import format_memory_report
+
+                print(
+                    f"Epoch: {epoch}\n"
+                    f"Rate: {rate:.1f} datapoints/s\n"
+                    f"Train Loss: {train_loss:.4f}\n"
+                    f"Validation Loss: {val['val_loss']:.4f}\n"
+                    f"Val IoU: {val['val_iou']:.4f}\n"
+                    f"Val Pixel Accuracy: {val['val_pixel_accuracy']:.4f}\n"
+                    f"Val Dice: {val['val_dice']:.4f}\n"
+                    + format_memory_report(),
+                    flush=True,
+                )
             if jax.process_index() == 0 and self.run_dir:
                 io_lib.log_loss_to_csv(
                     epoch,
@@ -411,6 +480,8 @@ class Trainer:
 
     # ------------------------------------------------------------- resume
     def restore(self, path: str) -> None:
-        self.state = mesh_lib.replicate(
-            self.mesh, ckpt_lib.restore_into(jax.device_get(self.state), path)
-        )
+        restored = ckpt_lib.restore_into(jax.device_get(self.state), path)
+        if self.mesh.shape[mesh_lib.MODEL_AXIS] > 1:
+            self.state = mesh_lib.shard_params_tp(self.mesh, restored)
+        else:
+            self.state = mesh_lib.replicate(self.mesh, restored)

@@ -155,6 +155,56 @@ class ClipAutoencoder(nn.Module):
         return out.astype(jnp.float32)
 
 
+class ClipResSegmentationClassification(nn.Module):
+    """Joint binary segmentation + cat/dog classification.
+
+    The reference *intends* this model: ``scripts/segment_classifier_model_
+    train.py`` trains a ``ClipResSegmentationClassification`` on
+    ``ClassImageDataset`` (binary any-animal mask + scalar class label,
+    datasets.py:417-471) but the class is defined nowhere (SURVEY.md §7
+    known defects).  This is a working realization: the ClipRes trunk
+    produces the binary mask logits; a linear head on the (frozen) CLIP
+    embedding produces the cat/dog logit.
+
+    Returns (mask_logits (B,H,W,1), class_logits (B,1)).
+    """
+
+    dtype: Any = jnp.bfloat16
+    freeze_clip: bool = True
+    freeze_backbone: bool = True
+    clip_kwargs: Optional[Mapping] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False):
+        x = x.astype(self.dtype)
+        clip_feats = ClipVisionTower(
+            dtype=self.dtype, name="clip_tower", **(self.clip_kwargs or {})
+        )(clip_preprocess(x))
+        if self.freeze_clip:
+            clip_feats = jax.lax.stop_gradient(clip_feats)
+        res = ResNet34Features(dtype=self.dtype, name="resnet_backbone")(
+            x, train=train
+        )
+        if self.freeze_backbone:
+            res = jax.lax.stop_gradient(res)
+
+        attn = CrossAttentionFusion(512, num_heads=4, dtype=self.dtype,
+                                    name="cross_attention_fusion")(res, clip_feats)
+        h = ConvBlockUpsample(256, dtype=self.dtype, name="dec1")(attn, train=train)
+        h = ConvBlockUpsample(128, dtype=self.dtype, name="dec2")(h, train=train)
+        h = ConvBlockUpsample(64, dtype=self.dtype, name="dec3")(h, train=train)
+        h = ConvBlockUpsample(32, dtype=self.dtype, name="dec4")(h, train=train)
+        h = ConvBlockUpsample(16, dtype=self.dtype, name="dec5")(h, train=train)
+        h = jnp.concatenate([h, x], axis=-1)
+        mask_logits = nn.Conv(
+            1, (1, 1), padding="VALID", dtype=self.dtype, name="mask_out"
+        )(h).astype(jnp.float32)
+        class_logits = nn.Dense(1, dtype=self.dtype, name="class_head")(
+            clip_feats.astype(self.dtype)
+        ).astype(jnp.float32)
+        return mask_logits, class_logits
+
+
 class PromptEncoder(nn.Module):
     """1-channel heatmap -> 3 downsamples -> ConvBlock(512) at /8
     (prompt_segmentation.py:16-30)."""
@@ -230,3 +280,4 @@ register("clip_unet")(lambda **kw: ClipUnet(**kw))
 register("clip_res")(lambda **kw: ClipResSegmentationModel(**kw))
 register("clip_autoencoder")(lambda **kw: ClipAutoencoder(**kw))
 register("clip_unet_prompt")(lambda **kw: ClipUnetPrompt(**kw))
+register("clip_res_class")(lambda **kw: ClipResSegmentationClassification(**kw))

@@ -131,14 +131,15 @@ def random_geometric(
     key: jax.Array,
     stacked: jax.Array,
     max_degrees: float = 90.0,
-    method: str = "two_pass",
+    method: str = "gather",
 ) -> jax.Array:
     """Per-sample random hflip + rotation on an NHWC stack (image||mask||...).
 
     All channels share the SAME geometry per sample, reproducing the
     reference's channel-concatenation trick (processing_blocks.py:362-364).
-    ``method``: "two_pass" (fast axis-gather decomposition, default) or
-    "gather" (direct 2-D nearest map — the exactness oracle).
+    ``method``: "gather" (direct 2-D nearest map — the exactness oracle,
+    and the faster choice inside the full train step where it overlaps with
+    MXU work) or "two_pass" (axis-gather decomposition — faster standalone).
     """
     n, h, w, c = stacked.shape
     k_flip, k_rot = jax.random.split(key)
@@ -320,8 +321,11 @@ class DataAugmentor:
     # "xla": fused by the compiler; "pallas": ops/pallas_preprocess.py fused
     # kernel for the colour+blur stage (identical results, tested).
     backend: str = "xla"
-    # rotation implementation: "two_pass" axis gathers or direct 2-D "gather"
-    geometry: str = "two_pass"
+    # Rotation implementation: direct 2-D "gather" or "two_pass" axis
+    # gathers.  Standalone the 2-D gather is ~30 ms (scalar core) vs ~2 ms,
+    # but inside the full jitted train step it OVERLAPS with MXU conv work
+    # and wins end-to-end (56.9 vs 50.6 img/s, LargeUNet@512 batch 16 v5e).
+    geometry: str = "gather"
 
     def _colour_stage(self, kc, kb, images_u8_or_f32, *, from_u8: bool, dtype):
         """normalize (if from u8) + jitter + blur via the selected backend."""

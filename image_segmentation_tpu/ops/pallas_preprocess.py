@@ -3,24 +3,39 @@
 The BASELINE.json north star calls for the preprocessing/augmentation
 pipeline as fused on-device Pallas kernels.  This kernel fuses, per image,
 in a single VMEM residency (one HBM read of the uint8 image, one HBM write
-of the float result — the XLA version materializes the intermediate between
-the two separable blur passes):
+of the float result — the XLA version materializes intermediates between
+stages):
 
     normalize (/255) -> brightness -> contrast (per-image gray mean)
     -> saturation -> hue (HSV roundtrip) -> separable 5-tap Gaussian blur
 
 Per-sample random factors are sampled OUTSIDE with jax.random (same
 distributions as ops/augment.py — the two backends are interchangeable and
-tested equal); the kernel consumes them via scalar prefetch.  The geometric
-ops (flip/rotation gather) stay in XLA where the gather engine lives.
+tested equal) and ride in SMEM blocks.  The geometric ops (flip/rotation
+gather) stay in XLA where the gather engine lives.
 
-Grid: one program per image; whole-image blocks (a 512x512x3 fp32 image is
-3 MiB — comfortably inside the ~16 MiB VMEM).
+Mosaic notes (hard-won):
+- the channel dimension is processed as three (H, W) PLANES: (H, W, 3)
+  arithmetic lane-pads 3 -> 128 and crashes/falls off supported paths;
+- no direct u8 -> f32 cast (hop through int32);
+- SMEM blocks must keep full trailing dims ((1, 1, 9) of an (N, 1, 9)
+  table) and be indexed statically — dynamic program_id SMEM reads are
+  rejected;
+- jnp.select lowers through a bool argmax Mosaic lacks (nested wheres
+  instead); jnp.flip (`rev`) is unimplemented (explicit slice stacks).
+
+Status: numerically verified against the XLA pipeline in interpret mode
+(tests/test_pallas_preprocess.py).  The current v5e axon remote-compile
+toolchain still crashes compiling it natively, so the augmentor default
+stays backend="xla" (2.2 ms/batch at 16x512x512, off the critical path —
+the step-time bottleneck is the rotation gather, which overlaps with MXU
+work).  Revisit on a newer libtpu.
+
+Grid: one program per image; whole-image blocks (a 512x512 fp32 plane is
+1 MiB — three planes fit easily inside the ~16 MiB VMEM).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -31,31 +46,38 @@ _GRAY_R, _GRAY_G, _GRAY_B = 0.299, 0.587, 0.114
 
 
 def _kernel(factors_ref, img_ref, out_ref):
-    """factors_ref: SMEM (N, 9) [fb, fc, fs, fh, w0..w4] (full array —
-    blocked SMEM slices are not supported); img block (1,H,W,3) u8."""
-    prog = pl.program_id(0)
-    fb = factors_ref[prog, 0]
-    fc = factors_ref[prog, 1]
-    fs = factors_ref[prog, 2]
-    fh = factors_ref[prog, 3]
+    """factors block: SMEM (1, 1, 9) [fb, fc, fs, fh, w0..w4];
+    img block: VMEM (1, H, W, 3) u8; out block: (1, H, W, 3) float."""
+    fb = factors_ref[0, 0, 0]
+    fc = factors_ref[0, 0, 1]
+    fs = factors_ref[0, 0, 2]
+    fh = factors_ref[0, 0, 3]
 
-    # Mosaic has no direct u8 -> f32 cast; hop through int32.
-    x = img_ref[0].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+    def plane(c):
+        # u8 -> i32 -> f32 (no direct u8->f32 cast in Mosaic)
+        return img_ref[0, :, :, c].astype(jnp.int32).astype(jnp.float32) * (
+            1.0 / 255.0
+        )
+
+    r, g, b = plane(0), plane(1), plane(2)
 
     # brightness
-    x = jnp.clip(x * fb, 0.0, 1.0)
+    r = jnp.clip(r * fb, 0.0, 1.0)
+    g = jnp.clip(g * fb, 0.0, 1.0)
+    b = jnp.clip(b * fb, 0.0, 1.0)
     # contrast: blend with the mean gray of the brightened image
-    r, g, b = x[..., 0], x[..., 1], x[..., 2]
     gray = _GRAY_R * r + _GRAY_G * g + _GRAY_B * b
     gray_mean = jnp.mean(gray)
-    x = jnp.clip(fc * x + (1.0 - fc) * gray_mean, 0.0, 1.0)
+    r = jnp.clip(fc * r + (1.0 - fc) * gray_mean, 0.0, 1.0)
+    g = jnp.clip(fc * g + (1.0 - fc) * gray_mean, 0.0, 1.0)
+    b = jnp.clip(fc * b + (1.0 - fc) * gray_mean, 0.0, 1.0)
     # saturation: blend with per-pixel gray
-    r, g, b = x[..., 0], x[..., 1], x[..., 2]
-    gray = (_GRAY_R * r + _GRAY_G * g + _GRAY_B * b)[..., None]
-    x = jnp.clip(fs * x + (1.0 - fs) * gray, 0.0, 1.0)
+    gray = _GRAY_R * r + _GRAY_G * g + _GRAY_B * b
+    r = jnp.clip(fs * r + (1.0 - fs) * gray, 0.0, 1.0)
+    g = jnp.clip(fs * g + (1.0 - fs) * gray, 0.0, 1.0)
+    b = jnp.clip(fs * b + (1.0 - fs) * gray, 0.0, 1.0)
 
-    # hue: RGB -> HSV -> +fh -> RGB
-    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    # hue: RGB -> HSV -> +fh -> RGB (all (H, W) planes)
     maxc = jnp.maximum(jnp.maximum(r, g), b)
     minc = jnp.minimum(jnp.minimum(r, g), b)
     v = maxc
@@ -65,8 +87,8 @@ def _kernel(factors_ref, img_ref, out_ref):
     rc = (maxc - r) / safe
     gc = (maxc - g) / safe
     bc = (maxc - b) / safe
-    # Order-based branch selection (see augment._rgb_to_hsv): equality with a
-    # recomputed maxc is not fusion-stable and permutes channels when false.
+    # Order-based branch selection (see augment._rgb_to_hsv): equality with
+    # a recomputed maxc is not fusion-stable and permutes channels.
     is_r = (r >= g) & (r >= b)
     is_g = jnp.logical_not(is_r) & (g >= b)
     h = jnp.where(is_r, bc - gc, jnp.where(is_g, 2.0 + rc - bc, 4.0 + gc - rc))
@@ -78,33 +100,44 @@ def _kernel(factors_ref, img_ref, out_ref):
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
-    conds = [i == k for k in range(6)]
-    r2 = jnp.select(conds, [v, q, p, p, t, v])
-    g2 = jnp.select(conds, [t, v, v, q, p, p])
-    b2 = jnp.select(conds, [p, p, t, v, v, q])
-    x = jnp.clip(jnp.stack([r2, g2, b2], axis=-1), 0.0, 1.0)
+    # nested wheres: jnp.select lowers through an argmax Mosaic lacks
+    def sextant(c0, c1, c2, c3, c4, c5):
+        out = c5
+        for k, ck in ((4, c4), (3, c3), (2, c2), (1, c1), (0, c0)):
+            out = jnp.where(i == k, ck, out)
+        return out
 
-    # separable 5-tap blur, reflect padding, both passes in VMEM
-    w = [factors_ref[prog, 4 + k] for k in range(5)]
+    r = jnp.clip(sextant(v, q, p, p, t, v), 0.0, 1.0)
+    g = jnp.clip(sextant(t, v, v, q, p, p), 0.0, 1.0)
+    b = jnp.clip(sextant(p, p, t, v, v, q), 0.0, 1.0)
 
-    def blur_axis(img, axis):
-        # reflect padding: rows [2,1] on top, [-2,-3] at bottom
-        def take(a, lo, hi):
-            sl = [slice(None)] * 3
-            sl[axis] = slice(lo, hi)
-            return a[tuple(sl)]
+    # separable 5-tap blur per plane, reflect padding, both passes in VMEM
+    w = [factors_ref[0, 0, 4 + k] for k in range(5)]
 
-        top = jnp.flip(take(img, 1, 3), axis=axis)
-        bot = jnp.flip(take(img, -3, -1), axis=axis)
-        p = jnp.concatenate([top, img, bot], axis=axis)
-        length = img.shape[axis]
-        total = jnp.zeros_like(img)
-        for tap in range(5):
-            total = total + take(p, tap, tap + length) * w[tap]
-        return total
+    def blur_plane(img):
+        def blur_axis(a, axis):
+            def take(arr, lo, hi):
+                sl = [slice(None)] * 2
+                sl[axis] = slice(lo, hi)
+                return arr[tuple(sl)]
 
-    x = blur_axis(blur_axis(x, 0), 1)
-    out_ref[0] = x.astype(out_ref.dtype)
+            # reflect pad of width 2 as explicit row stacks (Mosaic has no
+            # `rev`): top rows [2, 1], bottom rows [-2, -3]
+            top = jnp.concatenate([take(a, 2, 3), take(a, 1, 2)], axis=axis)
+            bot = jnp.concatenate([take(a, -2, -1), take(a, -3, -2)], axis=axis)
+            padded = jnp.concatenate([top, a, bot], axis=axis)
+            length = a.shape[axis]
+            total = jnp.zeros_like(a)
+            for tap in range(5):
+                total = total + take(padded, tap, tap + length) * w[tap]
+            return total
+
+        return blur_axis(blur_axis(img, 0), 1)
+
+    r, g, b = blur_plane(r), blur_plane(g), blur_plane(b)
+    out_ref[0, :, :, 0] = r.astype(out_ref.dtype)
+    out_ref[0, :, :, 1] = g.astype(out_ref.dtype)
+    out_ref[0, :, :, 2] = b.astype(out_ref.dtype)
 
 
 def pallas_preprocess(
@@ -126,16 +159,14 @@ def pallas_preprocess(
     factors = jnp.concatenate(
         [jitter_factors.astype(jnp.float32), blur_weights.astype(jnp.float32)],
         axis=1,
-    )  # (N, 9)
+    ).reshape(n, 1, 9)  # (N, 1, 9): blocked SMEM needs full trailing dims
 
-    # Factors ride in SMEM: VMEM blocks require the last two dims tiled
-    # (8, 128) or full, which a (1, 9) slice of (N, 9) violates.
     return pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), out_dtype),
         grid=(n,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (N, 9) factor table
+            pl.BlockSpec((1, 1, 9), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

@@ -70,3 +70,31 @@ def shard_batch(mesh: Mesh, tree):
 def replicate(mesh: Mesh, tree):
     s = replicated(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, s), tree)
+
+
+def shard_params_tp(
+    mesh: Mesh, tree, *, min_size: int = 1 << 12
+):
+    """Tensor-parallel placement: shard large weight matrices/kernels over
+    the ``model`` axis along their LAST (output-feature) dimension; leave
+    everything else replicated.  Applied uniformly to params and matching
+    optimizer moments; XLA/GSPMD inserts the required collectives during
+    jit compilation (the scaling-book recipe: annotate shardings, let the
+    compiler place all-gathers/reduce-scatters on ICI)."""
+    n_model = mesh.shape[MODEL_AXIS]
+    rep = replicated(mesh)
+    if n_model <= 1:
+        return jax.tree.map(lambda a: jax.device_put(a, rep), tree)
+
+    def place(a):
+        shape = getattr(a, "shape", ())
+        if (
+            len(shape) >= 2
+            and shape[-1] % n_model == 0
+            and int(np.prod(shape)) >= min_size
+        ):
+            spec = P(*([None] * (len(shape) - 1) + [MODEL_AXIS]))
+            return jax.device_put(a, NamedSharding(mesh, spec))
+        return jax.device_put(a, rep)
+
+    return jax.tree.map(place, tree)

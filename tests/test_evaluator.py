@@ -1,0 +1,100 @@
+"""Evaluator: clean test, sweeps, CSV artifacts (reference TestWrapper +
+robustness_evaluation.py schemas)."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_segmentation_tpu.config import preset
+from image_segmentation_tpu.data.datasets import synthetic_dataset
+from image_segmentation_tpu.engine.evaluate import Evaluator
+from image_segmentation_tpu.engine.train import Trainer
+from image_segmentation_tpu.utils import io as io_lib
+
+
+@pytest.fixture(scope="module")
+def evaluator(tmp_path_factory):
+    cfg = preset("smoke")
+    cfg.save_dir = str(tmp_path_factory.mktemp("eval-runs"))
+    t = Trainer(cfg, make_artifacts=False)
+    t.train(1)
+    test_data = synthetic_dataset(length=6, height=32, width=32, seed=9)
+    return Evaluator(t.model, jax.device_get(t.state), test_data, batch_size=6)
+
+
+class TestCleanEval:
+    def test_metrics_in_range(self, evaluator):
+        out = evaluator.test()
+        assert set(out) == {"iou", "pixel_accuracy", "dice"}
+        for v in out.values():
+            assert 0.0 <= v <= 1.0
+
+
+class TestSweeps:
+    def test_float_point(self, evaluator):
+        out = evaluator.test_augmentation("brightness_increase", 20)
+        assert 0.0 <= out["dice"] <= 1.0
+
+    def test_identity_perturbation_matches_clean(self, evaluator):
+        clean = evaluator.test()
+        ident = evaluator.test_augmentation("contrast_increase", 1.0)
+        assert ident["dice"] == pytest.approx(clean["dice"], abs=1e-5)
+
+    def test_int_sweep_param_traced_no_extra_compile(self, evaluator):
+        # brightness params share one compiled program (traced scalar).
+        evaluator._metric_cache.clear()
+        evaluator._run_sweep_point("int", "brightness_increase", 5)
+        evaluator._run_sweep_point("int", "brightness_increase", 25)
+        keys = [k for k in evaluator._metric_cache if k[1] == "brightness_increase"]
+        assert len(keys) == 1
+
+    def test_robustness_csv_schema(self, evaluator, tmp_path):
+        # restrict to two perturbations for speed
+        from image_segmentation_tpu.data import perturbations as P
+
+        full = dict(P.INT_SWEEPS)
+        small = {
+            "brightness_increase": dict(
+                full["brightness_increase"], params=[0, 45]
+            ),
+            "contrast_decrease": dict(full["contrast_decrease"], params=[1.0, 0.1]),
+        }
+        P.INT_SWEEPS.clear()
+        P.INT_SWEEPS.update(small)
+        try:
+            csv_path = str(tmp_path / "results/robustness_scores.csv")
+            res = evaluator.robustness_evaluation(csv_path)
+            with open(csv_path) as f:
+                rows = list(csv.reader(f))
+            assert rows[0] == io_lib.ROBUSTNESS_CSV_HEADER
+            assert len(rows) == 1 + 4  # 2 perturbations x 2 params
+            assert rows[1][0] == "brightness_increase"
+            float(rows[1][2])  # mean_dice parses
+        finally:
+            P.INT_SWEEPS.clear()
+            P.INT_SWEEPS.update(full)
+
+
+class TestExport:
+    def test_export_load_predict_roundtrip(self, tmp_path):
+        from image_segmentation_tpu.engine import export as ex
+
+        cfg = preset("smoke")
+        cfg.save_dir = str(tmp_path)
+        t = Trainer(cfg, make_artifacts=False)
+        out_dir = ex.export_model(
+            jax.device_get(t.state), cfg.model, cfg.model_args,
+            str(tmp_path / "artifact"),
+        )
+        assert os.path.exists(os.path.join(out_dir, "model.npz"))
+        assert os.path.exists(os.path.join(out_dir, "config.json"))
+        model, variables = ex.load_model(out_dir, dtype=jnp.float32)
+        img = np.random.default_rng(0).integers(0, 256, (32, 32, 3), np.uint8)
+        mask = ex.predict(model, variables, img)
+        assert mask.shape == (256, 256)
+        assert set(np.unique(mask)).issubset({0, 1, 2})
