@@ -92,6 +92,47 @@ def load_pet_dataset(
     return ArrayDataset(images, masks, raw_masks if keep_raw_masks else None)
 
 
+def synthetic_shapes_dataset(
+    length: int = 64,
+    height: int = 64,
+    width: int = 64,
+    seed: int = 0,
+) -> ArrayDataset:
+    """LEARNABLE synthetic fixture: colour-coded shapes with exact masks.
+
+    Unlike :func:`synthetic_dataset` (pure noise, only useful for shape/dtype
+    checks), each image contains a reddish ellipse (class 1, "cat") and/or a
+    bluish rectangle (class 2, "dog") on a textured background — so a real
+    model must reach high IoU quickly, making end-to-end convergence
+    testable without the Oxford-IIIT-Pet download.
+    """
+    rng = np.random.default_rng(seed)
+    images = np.empty((length, height, width, 3), np.uint8)
+    masks = np.zeros((length, height, width), np.uint8)
+    yy, xx = np.mgrid[0:height, 0:width]
+    for i in range(length):
+        img = rng.integers(60, 120, (height, width, 3)).astype(np.float64)
+        if rng.random() < 0.8:  # ellipse (class 1)
+            cy, cx = rng.uniform(0.25, 0.75, 2) * (height, width)
+            ry, rx = rng.uniform(0.1, 0.25, 2) * (height, width)
+            inside = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+            img[inside] = [210 + rng.integers(-20, 20), 70, 70]
+            masks[i][inside] = records.CAT_ID
+        if rng.random() < 0.8:  # rectangle (class 2)
+            y0, x0 = rng.integers(0, height // 2), rng.integers(0, width // 2)
+            hh, ww = rng.integers(height // 8, height // 3), rng.integers(
+                width // 8, width // 3
+            )
+            box = np.zeros((height, width), bool)
+            box[y0 : y0 + hh, x0 : x0 + ww] = True
+            img[box] = [70, 70, 210 + rng.integers(-20, 20)]
+            masks[i][box] = records.DOG_ID
+        images[i] = np.clip(img + rng.normal(0, 6, img.shape), 0, 255).astype(
+            np.uint8
+        )
+    return ArrayDataset(images, masks)
+
+
 def synthetic_dataset(
     length: int = 100,
     height: int = 256,
