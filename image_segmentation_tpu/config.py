@@ -58,6 +58,9 @@ class TrainConfig:
     # Rematerialize the forward pass in backward (jax.checkpoint): trades
     # ~1/3 extra FLOPs for activation memory, unlocking larger batches.
     remat: bool = False
+    # NaN sanitizer (SURVEY.md §5: the closest JAX analogue to a race/
+    # numerics sanitizer): recompile with NaN checks and fail fast.
+    debug_nans: bool = False
     # parallelism
     n_model_shards: int = 1
 

@@ -143,6 +143,8 @@ class Trainer:
         make_artifacts: bool = True,
     ):
         self.config = config
+        if config.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.mesh = (
             mesh
             if mesh is not None
