@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.cross_attention import CrossAttentionFusion
+from . import folded
 from .blocks import ConvBlock, ConvBlockDownsample, ConvBlockUpsample, ConvBlockUpsampleSkip
 from .clip import ClipVisionTower, clip_preprocess
 from .registry import register
@@ -44,6 +45,9 @@ class ClipUnet(nn.Module):
     dtype: Any = jnp.bfloat16
     freeze_clip: bool = True
     clip_kwargs: Optional[Mapping] = None  # tower overrides (tests/small cfgs)
+    # exact width-to-depth fast path for the full-resolution level
+    # (models/folded.py; shared parameter tree, equivalence tested)
+    w2d_level0: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -54,8 +58,25 @@ class ClipUnet(nn.Module):
         if self.freeze_clip:
             clip_feats = jax.lax.stop_gradient(clip_feats)
 
-        stem = nn.Conv(32, (1, 1), padding="VALID", dtype=self.dtype, name="input")(x)
-        enc1 = ConvBlockDownsample(64, dtype=self.dtype, name="enc1")(stem, train=train)
+        use_fold = self.w2d_level0 and x.shape[2] % (2 * folded.FOLD) == 0
+        if use_fold:
+            b, hh, ww, cin = x.shape
+            x5 = x.reshape(b, hh, ww // folded.FOLD, folded.FOLD, cin)
+            stem5 = nn.Conv(
+                32, (1, 1), padding="VALID", dtype=self.dtype, name="input"
+            )(x5)
+            stem4 = stem5.reshape(b, hh, ww // folded.FOLD, folded.FOLD * 32)
+            h4 = folded.FoldedConvBlockDownsample(
+                32, 64, folded.FOLD, self.dtype, name="enc1"
+            )(stem4, train=train)
+            enc1 = folded.d2w(h4, 64, folded.FOLD)
+        else:
+            stem = nn.Conv(
+                32, (1, 1), padding="VALID", dtype=self.dtype, name="input"
+            )(x)
+            enc1 = ConvBlockDownsample(64, dtype=self.dtype, name="enc1")(
+                stem, train=train
+            )
         enc2 = ConvBlockDownsample(128, dtype=self.dtype, name="enc2")(enc1, train=train)
         enc3 = ConvBlockDownsample(256, dtype=self.dtype, name="enc3")(enc2, train=train)
         bottleneck = ConvBlock(512, dtype=self.dtype, name="bottleneck")(
@@ -70,6 +91,15 @@ class ClipUnet(nn.Module):
         h = ConvBlockUpsampleSkip(256, dtype=self.dtype, name="dec1")(attn, enc3, train=train)
         h = ConvBlockUpsampleSkip(128, dtype=self.dtype, name="dec2")(h, enc2, train=train)
         h = ConvBlockUpsampleSkip(64, dtype=self.dtype, name="dec3")(h, enc1, train=train)
+        if use_fold:
+            h4 = folded.FoldedConvBlockUpsampleSkip(
+                64, 32, folded.FOLD, self.dtype, name="dec4"
+            )(h, stem4, train=train)
+            out5 = nn.Conv(
+                self.out_channels, (1, 1), padding="VALID", dtype=self.dtype,
+                name="out",
+            )(h4.reshape(b, hh, ww // folded.FOLD, folded.FOLD, 32))
+            return out5.reshape(b, hh, ww, self.out_channels).astype(jnp.float32)
         h = ConvBlockUpsampleSkip(32, dtype=self.dtype, name="dec4")(h, stem, train=train)
         out = nn.Conv(
             self.out_channels, (1, 1), padding="VALID", dtype=self.dtype, name="out"

@@ -134,3 +134,24 @@ class TestFoldedUNet:
             jax.tree.leaves(m1["batch_stats"]), jax.tree.leaves(m2["batch_stats"])
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
+
+
+class TestFoldedClipUnet:
+    def test_clip_unet_w2d_matches_standard(self):
+        from image_segmentation_tpu.models.clip_models import ClipUnet
+
+        kw = dict(
+            dtype=jnp.float32,
+            clip_kwargs=dict(hidden=32, layers=1, heads=2, mlp_dim=64,
+                             patch=32, proj_dim=32),
+        )
+        std = ClipUnet(**kw)
+        fast = ClipUnet(w2d_level0=True, **kw)
+        x = rand((2, 32, 32, 3))
+        variables = std.init(KEY, x, train=False)
+        assert jax.tree_util.tree_structure(variables) == (
+            jax.tree_util.tree_structure(fast.init(KEY, x, train=False))
+        )
+        ref = std.apply(variables, x, train=False)
+        out = fast.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
