@@ -39,6 +39,9 @@ class UNet(nn.Module):
     # numerically equivalent (shared parameter tree, tested), ~2.3x faster on
     # the level-0 convolutions that dominate the 512^2 step on TPU.
     w2d_level0: bool = False
+    # Also fold level 1 (enc2 + the second-to-last decoder); requires
+    # w2d_level0 and at least 2 encoder levels.
+    w2d_level1: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -93,16 +96,30 @@ class UNet(nn.Module):
         )(x5)
         stem4 = stem5.reshape(b, hh, ww // f, f * stem_c)
 
-        # enc1 folded; unfold afterwards for the deeper (wide-channel) levels
+        # enc1 folded; deeper (wide-channel) levels run unfolded
         e1_feats = self.encoder_features[0]
         h4 = folded.FoldedConvBlockDownsample(
             stem_c, e1_feats, f, self.dtype, name="enc1"
         )(stem4, train=train)
-        enc1 = folded.d2w(h4, e1_feats, f)
+        enc1_folded = h4
 
-        skips = [None, enc1]  # stem skip stays folded (used by the last dec)
-        h = enc1
-        for i, feats in enumerate(self.encoder_features[1:], start=2):
+        fold_l1 = self.w2d_level1 and len(self.encoder_features) >= 2
+        if fold_l1:
+            e2_feats = self.encoder_features[1]
+            h4 = folded.FoldedConvBlockDownsample(
+                e1_feats, e2_feats, f, self.dtype, name="enc2"
+            )(h4, train=train)
+            h = folded.d2w(h4, e2_feats, f)
+            first_std_enc = 3
+            skips = [None, None, h]  # enc2 (unfolded) is dec_{N-2}'s skip
+        else:
+            h = folded.d2w(h4, e1_feats, f)
+            first_std_enc = 2
+            skips = [None, h]  # enc1 (unfolded) is dec_{N-1}'s skip
+
+        for i, feats in enumerate(
+            self.encoder_features[first_std_enc - 1:], start=first_std_enc
+        ):
             h = ConvBlockDownsample(feats, dtype=self.dtype, name=f"enc{i}")(
                 h, train=train
             )
@@ -113,11 +130,20 @@ class UNet(nn.Module):
         )(h, train=train)
 
         dec_feats = list(self.encoder_features[::-1]) + [stem_c]
-        for i, feats in enumerate(dec_feats[:-1]):
+        n_folded_dec = 2 if fold_l1 else 1
+        for i, feats in enumerate(dec_feats[:-n_folded_dec]):
             skip = skips[-(i + 1)]
             h = ConvBlockUpsampleSkip(feats, dtype=self.dtype, name=f"dec{i + 1}")(
                 h, skip, train=train
             )
+
+        if fold_l1:
+            # second-to-last decoder folded (skip = folded enc1)
+            h4 = folded.FoldedConvBlockUpsampleSkip(
+                dec_feats[-3], e1_feats, f, self.dtype,
+                name=f"dec{len(dec_feats) - 1}",
+            )(h, enc1_folded, train=train)
+            h = folded.d2w(h4, e1_feats, f)
 
         # final decoder level folded (skip = folded stem)
         h4 = folded.FoldedConvBlockUpsampleSkip(

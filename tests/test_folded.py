@@ -155,3 +155,33 @@ class TestFoldedClipUnet:
         ref = std.apply(variables, x, train=False)
         out = fast.apply(variables, x, train=False)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
+
+
+class TestFoldedLevel1:
+    def test_unet_w2d_levels01_matches_standard(self):
+        kw = dict(stem_features=8, encoder_features=(16, 32, 64))
+        std = UNet(out_channels=3, dtype=jnp.float32, **kw)
+        fast = UNet(out_channels=3, dtype=jnp.float32, w2d_level0=True,
+                    w2d_level1=True, **kw)
+        x = rand((2, 64, 64, 3))
+        variables = std.init(KEY, x, train=False)
+        assert jax.tree_util.tree_structure(variables) == (
+            jax.tree_util.tree_structure(fast.init(KEY, x, train=False))
+        )
+        ref = std.apply(variables, x, train=False)
+        out = fast.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
+
+    def test_train_stats_match_levels01(self):
+        kw = dict(stem_features=8, encoder_features=(16, 32))
+        std = UNet(dtype=jnp.float32, **kw)
+        fast = UNet(dtype=jnp.float32, w2d_level0=True, w2d_level1=True, **kw)
+        x = rand((2, 32, 32, 3))
+        variables = std.init(KEY, x, train=False)
+        o1, m1 = std.apply(variables, x, train=True, mutable=["batch_stats"])
+        o2, m2 = fast.apply(variables, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), **TOL)
+        for a, b in zip(
+            jax.tree.leaves(m1["batch_stats"]), jax.tree.leaves(m2["batch_stats"])
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
