@@ -61,6 +61,11 @@ class TrainConfig:
     # NaN sanitizer (SURVEY.md §5: the closest JAX analogue to a race/
     # numerics sanitizer): recompile with NaN checks and fail fast.
     debug_nans: bool = False
+    # Assemble host batches with the C++ background-thread loader
+    # (runtime/loader.cpp) instead of the Python BatchPipeline — the torch
+    # DataLoader-worker equivalent.  Identical semantics modulo the shuffle
+    # RNG stream; falls back to Python if no toolchain is available.
+    native_loader: bool = False
     # parallelism
     n_model_shards: int = 1
 

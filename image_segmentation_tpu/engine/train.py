@@ -15,10 +15,12 @@ TPU re-design of the reference's ``TrainingWrapper`` /
   reference (helperFunctions.py), checkpoints every epoch INCLUDING
   optimizer state (the reference cannot resume; we can).
 
-BatchNorm stats are per-replica... actually NO: because the step is jitted
-over a sharded batch, XLA computes batch statistics over the GLOBAL batch
-(equivalent to SyncBatchNorm, a strict quality upgrade over the reference's
-per-replica stats).  Documented design decision per SURVEY.md §7.
+BatchNorm: because the step is jitted over a batch sharded on the ``data``
+mesh axis, XLA computes batch statistics over the GLOBAL batch (equivalent
+to SyncBatchNorm, a strict quality upgrade over the reference's per-replica
+DDP stats).  The ``model`` axis shards weights, never the batch, so it does
+not change BN semantics.  Documented design decision per SURVEY.md §7;
+pinned by tests/test_trainer.py.
 """
 
 from __future__ import annotations
@@ -380,7 +382,18 @@ class Trainer:
         cfg = self.config
         shard = mesh_lib.batch_sharding(self.mesh)
         mask_attr = "raw_masks" if self.task in ("prompt", "class") else "masks"
-        train_pipe = data_pipeline.BatchPipeline(
+        train_cls = data_pipeline.BatchPipeline
+        train_kwargs = {}
+        if cfg.native_loader:
+            from ..data import native_loader
+
+            if native_loader.native_loader_available():
+                train_cls = native_loader.NativeBatchPipeline
+                train_kwargs = dict(
+                    process_index=jax.process_index(),
+                    process_count=jax.process_count(),
+                )
+        train_pipe = train_cls(
             self.train_data,
             cfg.batch_size,
             augmentations_per_datapoint=cfg.data.augmentations_per_datapoint,
@@ -389,6 +402,7 @@ class Trainer:
             seed=cfg.seed,
             sharding=shard,
             mask_attr=mask_attr,
+            **train_kwargs,
         )
         val_pipe = data_pipeline.BatchPipeline(
             self.val_data,

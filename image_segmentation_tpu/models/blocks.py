@@ -15,8 +15,13 @@ Differences from the reference, by design (TPU-first):
   the fp32 exponent range, so no GradScaler is needed (the reference uses
   AMP fp16 + GradScaler at ``model_wrappers.py:147,170-177``).
 - BatchNorm statistics are carried functionally in a ``batch_stats``
-  collection.  Stats are per-replica by default, matching the reference's
-  DDP behaviour (no SyncBatchNorm anywhere in the reference).
+  collection.  Because the train step is ONE jitted SPMD program over a
+  batch sharded on the ``data`` mesh axis, XLA computes batch statistics
+  over the GLOBAL batch — SyncBatchNorm-equivalent, a strict quality
+  upgrade over the reference's per-replica DDP stats (no SyncBatchNorm in
+  the reference).  Under the optional ``model`` (tensor-parallel) axis the
+  batch is NOT sharded, so BN statistics are unaffected by it.  Pinned by
+  tests/test_trainer.py::test_batchnorm_stats_are_global_across_data_axis.
 """
 
 from __future__ import annotations

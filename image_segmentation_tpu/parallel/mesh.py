@@ -28,13 +28,28 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def distributed_init() -> None:
-    """Multi-host init (no-op single-process).  torchrun/NCCL rendezvous
-    equivalent of train_distributed.py:13-20."""
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
-    # jax.distributed.initialize() is only needed under a multi-process
-    # launcher; calling it single-process is a no-op guard here.
+def distributed_init(force: bool = False) -> None:
+    """Multi-host rendezvous — torchrun/NCCL `init_process_group` equivalent
+    of reference train_distributed.py:13-20.
+
+    Calls :func:`jax.distributed.initialize` when a multi-process launcher
+    environment is detected (a coordinator address is set, as the JAX
+    launchers and TPU pod runtimes do) or when ``force`` is passed.
+    Single-process runs are a no-op; double initialization is tolerated so
+    callers need not track launcher state.
+    """
+    import os
+
+    coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    if not (force or coordinator):
+        return
+    try:
+        jax.distributed.initialize()
+    except RuntimeError as e:  # already initialized by the launcher
+        if "already" not in str(e).lower():
+            raise
 
 
 def make_mesh(

@@ -66,7 +66,12 @@ struct Loader {
   std::condition_variable cv_producer;
   std::condition_variable cv_consumer;
 
-  int64_t items_per_proc_batch() const { return global_batch / proc_count; }
+  // Ceil, not floor: when global_batch % proc_count != 0 the strided shard
+  // of proc_index < remainder holds one extra item; floor-sized slots would
+  // overflow in fill_slot.
+  int64_t items_per_proc_batch() const {
+    return (global_batch + proc_count - 1) / proc_count;
+  }
 
   void build_epoch(uint64_t epoch) {
     const int64_t virt = n_items * replication;
@@ -110,9 +115,15 @@ struct Loader {
       }
       if (stop.load()) return;
       fill_slot(slot, b);
-      slot.consumed.store(false);
-      slot.ready.store(true);
-      produced.fetch_add(1);
+      {
+        // State changes must happen under the mutex: flipping ready/consumed
+        // outside it can race the consumer's predicate check and lose the
+        // (single) wakeup for this slot, hanging the waiter forever.
+        std::lock_guard<std::mutex> lk(mu);
+        slot.consumed.store(false);
+        slot.ready.store(true);
+        produced.fetch_add(1);
+      }
       cv_consumer.notify_all();
     }
   }
@@ -200,9 +211,14 @@ int64_t loader_next(void* handle, const uint8_t** images_out,
 void loader_release(void* handle, int64_t slot_idx) {
   auto* l = static_cast<Loader*>(handle);
   RingSlot& slot = *l->ring[slot_idx];
-  slot.ready.store(false);
-  slot.consumed.store(true);
-  l->consumed_count.fetch_add(1);
+  {
+    // Same lost-wakeup discipline as the producer: flip state under the
+    // mutex so the producer's predicate check cannot miss the transition.
+    std::lock_guard<std::mutex> lk(l->mu);
+    slot.ready.store(false);
+    slot.consumed.store(true);
+    l->consumed_count.fetch_add(1);
+  }
   l->cv_producer.notify_all();
 }
 

@@ -29,9 +29,9 @@ def main() -> None:
     args, extra = ap.parse_known_args()
 
     if args.multihost:
-        import jax
+        from image_segmentation_tpu.parallel.mesh import distributed_init
 
-        jax.distributed.initialize()
+        distributed_init(force=True)
 
     from image_segmentation_tpu.config import preset
     from image_segmentation_tpu.engine.train import Trainer

@@ -78,3 +78,42 @@ def test_masks_track_images(ds):
             assert any(
                 np.array_equal(masks[i], ds.masks[s]) for s in src
             )
+
+
+def test_indivisible_process_count_rejected(ds):
+    # Round-1 advisor finding: floor-sized ring slots overflowed when
+    # global_batch % proc_count != 0.  The Python layer now rejects the
+    # config outright (and the C++ sizes slots with ceil as defense).
+    with pytest.raises(ValueError, match="divisible"):
+        nl.NativeBatchPipeline(ds, 10, process_index=0, process_count=3)
+
+
+def test_drop_last_false_remainder(ds):
+    pipe = nl.NativeBatchPipeline(ds, 4, shuffle=False, drop_last=False)
+    sizes = [np.asarray(i).shape[0] for i, _ in pipe.epoch(0)]
+    assert sizes == [4, 4, 2]
+
+
+def test_many_epochs_no_hang(ds):
+    # Stress the producer/consumer handshake (lost-wakeup regression guard):
+    # many epochs with a shallow ring must terminate.
+    pipe = nl.NativeBatchPipeline(ds, 2, shuffle=True, seed=1, ring_depth=2)
+    for epoch in range(20):
+        n = sum(1 for _ in pipe.epoch(epoch))
+        assert n == 5
+
+
+def test_trainer_native_loader_path(tmp_path):
+    """TrainConfig.native_loader routes the train pipe through C++."""
+    from image_segmentation_tpu.config import preset
+    from image_segmentation_tpu.engine.train import Trainer
+
+    cfg = preset("smoke")
+    cfg.save_dir = str(tmp_path)
+    cfg.native_loader = True
+    t = Trainer(cfg)
+    train_pipe, _ = t._pipelines()
+    assert isinstance(train_pipe, nl.NativeBatchPipeline)
+    out = t.train(2)
+    h = out["history"]
+    assert h[-1]["train_loss"] < h[0]["train_loss"]

@@ -120,3 +120,45 @@ class TestAutoencoderTraining:
         t = Trainer(cfg)
         out = t.train()
         assert out["history"][0]["train_loss"] > 0
+
+
+class TestBatchNormSemantics:
+    """Pin the documented BN behaviour: batch statistics are computed over
+    the GLOBAL batch when the batch is sharded on the data axis
+    (SyncBatchNorm-equivalent), and the model (TP) axis does not change
+    them (it shards weights, never the batch)."""
+
+    @staticmethod
+    def _updated_mean(mesh_kwargs):
+        import jax.numpy as jnp
+        from flax import linen as nn
+
+        from image_segmentation_tpu.models.blocks import BN_MOMENTUM
+        from image_segmentation_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(**mesh_kwargs)
+        bn = nn.BatchNorm(use_running_average=False, momentum=BN_MOMENTUM)
+        # Per-shard means differ wildly: shard i has constant value i.
+        n_data = mesh.shape[mesh_lib.DATA_AXIS]
+        x = np.repeat(np.arange(n_data, dtype=np.float32), 2)[:, None]
+        global_mean = x.mean()
+        variables = bn.init(jax.random.PRNGKey(0), x)
+        xs = jax.device_put(jnp.asarray(x), mesh_lib.batch_sharding(mesh))
+        variables = mesh_lib.replicate(mesh, variables)
+
+        @jax.jit
+        def step(variables, x):
+            _, mutated = bn.apply(variables, x, mutable=["batch_stats"])
+            return mutated["batch_stats"]["mean"]
+
+        new_mean = np.asarray(step(variables, xs))[0]
+        expected = (1 - BN_MOMENTUM) * global_mean  # init running mean is 0
+        return new_mean, expected
+
+    def test_global_stats_across_data_axis(self):
+        new_mean, expected = self._updated_mean(dict(n_data=8))
+        np.testing.assert_allclose(new_mean, expected, rtol=1e-6)
+
+    def test_model_axis_does_not_change_stats(self):
+        new_mean, expected = self._updated_mean(dict(n_data=4, n_model=2))
+        np.testing.assert_allclose(new_mean, expected, rtol=1e-6)
