@@ -237,6 +237,7 @@ class Trainer:
                 train_dataset_size=len(self.train_data)
                 * (config.data.augmentations_per_datapoint + 1),
                 val_dataset_size=len(self.val_data),
+                params=params,
             )
 
         self._train_step = self._build_train_step()

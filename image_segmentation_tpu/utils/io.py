@@ -21,7 +21,7 @@ import csv
 import dataclasses
 import json
 import os
-from typing import Any, Dict, Iterable, Optional
+from typing import Any, Dict, Iterable, Mapping, Optional
 
 LOSS_CSV_HEADER = [
     "Epoch",
@@ -91,6 +91,60 @@ def _jsonable(obj: Any) -> Any:
     return str(obj)
 
 
+def layer_settings(params: Any) -> Dict[str, Dict[str, Any]]:
+    """Per-layer hyperparameter dump, derived from the parameter tree.
+
+    The reference introspects live ``nn.Module`` objects for each layer's
+    hyperparameters (helperFunctions.py:10-125: Conv2d in/out channels,
+    kernel size, BatchNorm features, Linear dims...).  In the functional
+    design the parameter shapes carry the same information, so we walk the
+    pytree instead: every module whose leaf dict holds a ``kernel`` /
+    ``scale`` is reported with its inferred type and dimensions.
+    """
+
+    layers: Dict[str, Dict[str, Any]] = {}
+
+    def visit(path: str, node: Any) -> None:
+        if not isinstance(node, Mapping):
+            return
+        arrays = {
+            k: v for k, v in node.items() if hasattr(v, "shape")
+        }
+        if "kernel" in arrays:
+            shape = tuple(int(s) for s in arrays["kernel"].shape)
+            entry: Dict[str, Any] = {"use_bias": "bias" in arrays}
+            if len(shape) == 4:
+                entry.update(
+                    type="Conv",
+                    kernel_size=list(shape[:2]),
+                    in_features=shape[2],
+                    out_features=shape[3],
+                )
+            elif len(shape) == 2:
+                entry.update(
+                    type="Dense", in_features=shape[0], out_features=shape[1]
+                )
+            else:
+                entry.update(type="Param", shape=list(shape))
+            layers[path] = entry
+        elif "scale" in arrays:
+            layers[path] = {
+                "type": "Norm",
+                "features": int(arrays["scale"].shape[-1]),
+                "use_bias": "bias" in arrays,
+            }
+        elif arrays:
+            layers[path] = {
+                k: list(int(s) for s in v.shape) for k, v in arrays.items()
+            }
+        for k, v in node.items():
+            if isinstance(v, Mapping):
+                visit(f"{path}/{k}" if path else str(k), v)
+
+    visit("", params if isinstance(params, Mapping) else {})
+    return layers
+
+
 def save_training_info(
     run_dir: str,
     *,
@@ -100,6 +154,7 @@ def save_training_info(
     train_dataset_size: int,
     val_dataset_size: int,
     extra_params: Optional[Dict[str, Any]] = None,
+    params: Any = None,
 ) -> None:
     """Write model_settings.json (helperFunctions.py:10-125 equivalent)."""
     payload = {
@@ -109,6 +164,8 @@ def save_training_info(
         "train_dataloader": {"dataset_size": int(train_dataset_size)},
         "val_dataloader": {"dataset_size": int(val_dataset_size)},
     }
+    if params is not None:
+        payload["layers"] = layer_settings(params)
     if extra_params:
         payload["extra_params"] = _jsonable(extra_params)
     with open(os.path.join(run_dir, "model_settings.json"), "w") as f:

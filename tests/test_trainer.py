@@ -162,3 +162,19 @@ class TestBatchNormSemantics:
     def test_model_axis_does_not_change_stats(self):
         new_mean, expected = self._updated_mean(dict(n_data=4, n_model=2))
         np.testing.assert_allclose(new_mean, expected, rtol=1e-6)
+
+
+class TestLayerSettings:
+    def test_settings_json_has_per_layer_section(self, trained):
+        t, _ = trained
+        with open(os.path.join(t.run_dir, "model_settings.json")) as f:
+            payload = json.load(f)
+        layers = payload["layers"]
+        convs = {k: v for k, v in layers.items() if v.get("type") == "Conv"}
+        norms = {k: v for k, v in layers.items() if v.get("type") == "Norm"}
+        assert convs and norms
+        # Stem conv of the smoke UNet: 1x1, 3 -> stem_features(8).
+        stem = next(v for k, v in convs.items() if v["in_features"] == 3)
+        assert stem["kernel_size"] == [1, 1] and stem["out_features"] == 8
+        for v in norms.values():
+            assert v["features"] > 0
