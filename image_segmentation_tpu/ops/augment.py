@@ -29,6 +29,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def normalize_image(images_u8: jax.Array, dtype=jnp.float32) -> jax.Array:
@@ -127,19 +128,95 @@ def _rotate_two_pass(stacked: jax.Array, angles_deg: jax.Array) -> jax.Array:
     return jnp.where(valid2[..., None], out, jnp.zeros((), stacked.dtype))
 
 
+def _row_shift(x: jax.Array, shifts: jax.Array, max_shift: int) -> jax.Array:
+    """out[n, i, j] = x[n, i, j - shifts[n, i]], zero fill.
+
+    Per-row variable shift WITHOUT any gather: the shift amount is binary-
+    decomposed and applied as log2(P) conditional STATIC rolls (each a
+    vector-wide slice+concat, selected per row).  A per-pixel 2-D gather
+    lowers to the TPU scalar core at ~0.5 GB/s (33 ms for a 16x512x512x4
+    batch — round-1's top remaining op); this formulation stays on the VPU
+    and is bandwidth-bound instead (~1 ms).  Zero fill comes from rolling a
+    zero-padded buffer: the wrap-around only ever lands inside the padding.
+    """
+    n, h, w, c = x.shape
+    m = int(max_shift)
+    p = w + 2 * m
+    xp = jnp.pad(x, ((0, 0), (0, 0), (m, m), (0, 0)))
+    # roll(xp, r)[j] = xp[j - r];  out[j] = xp[m + j - s]  =>  r = s - m.
+    t = (shifts.astype(jnp.int32) - m) % p
+    out = xp
+    bit = 1
+    while bit < p:
+        rolled = jnp.roll(out, bit, axis=2)
+        take = ((t & bit) > 0)[..., None, None]
+        out = jnp.where(take, rolled, out)
+        bit <<= 1
+    return out[:, :, :w, :]
+
+
+def _rotate_shear3(stacked: jax.Array, angles_deg: jax.Array) -> jax.Array:
+    """Per-sample nearest rotation as quarter-turn + THREE row-shift shears.
+
+    R(theta) = R(90k) o R(phi), |phi| <= 45, and
+    R(phi) = ShearX(a) o ShearY(b) o ShearX(a) with a = -tan(phi/2),
+    b = sin(phi) — each shear is a per-row constant shift, i.e. a contiguous
+    row slice (see :func:`_row_shift`), never a per-pixel gather.  The
+    middle (Y) shear runs on the transposed image.  Each pass rounds its
+    own shift, so results differ from the direct nearest map only near
+    rounding boundaries (<1 px); unlike compound nearest resampling, the
+    composition of integer row shifts is a BIJECTION on the pixel grid
+    (no double-sampled/dropped interior pixels).
+    """
+    n, h, w, c = stacked.shape
+    if h != w:
+        return jax.vmap(_rotate_one)(stacked, angles_deg)
+
+    quarter = jnp.round(angles_deg / 90.0)  # in {-1, 0, 1} for |angle|<=90
+    phi = (angles_deg - quarter * 90.0) * (jnp.pi / 180.0)
+
+    x_t = jnp.swapaxes(stacked, 1, 2)
+    rot_ccw = x_t[:, ::-1, :, :]
+    rot_cw = x_t[:, :, ::-1, :]
+    q = quarter[:, None, None, None]
+    base = jnp.where(q == 1, rot_ccw, jnp.where(q == -1, rot_cw, stacked))
+    base = jax.lax.optimization_barrier(base)
+
+    a = -jnp.tan(phi / 2.0)          # |a| <= tan(22.5deg) ~ 0.4142
+    b = jnp.sin(phi)                 # |b| <= sin(45deg)  ~ 0.7071
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    rows = jax.lax.broadcasted_iota(jnp.float32, (n, h), 1)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (n, w), 1)
+    # Pass inverse maps (out -> src): ShearX: src_x = x + a*(y - cy);
+    # ShearY: src_y = y + b*(x - cx).  _row_shift implements
+    # out[j] = in[j - s], so s = -round(a*(y - cy)) etc.
+    sx = -jnp.round(a[:, None] * (rows - cy)).astype(jnp.int32)
+    sy = -jnp.round(b[:, None] * (cols - cx)).astype(jnp.int32)
+    mx = int(np.ceil(np.tan(np.pi / 8) * max(h, w) / 2)) + 2
+    my = int(np.ceil(np.sin(np.pi / 4) * max(h, w) / 2)) + 2
+
+    out = _row_shift(base, sx, mx)                       # ShearX(a)
+    out = jnp.swapaxes(_row_shift(jnp.swapaxes(out, 1, 2), sy, my), 1, 2)
+    return _row_shift(out, sx, mx)                       # ShearX(a)
+
+
 def random_geometric(
     key: jax.Array,
     stacked: jax.Array,
     max_degrees: float = 90.0,
-    method: str = "gather",
+    method: str = "shear3",
 ) -> jax.Array:
     """Per-sample random hflip + rotation on an NHWC stack (image||mask||...).
 
     All channels share the SAME geometry per sample, reproducing the
     reference's channel-concatenation trick (processing_blocks.py:362-364).
-    ``method``: "gather" (direct 2-D nearest map — the exactness oracle,
-    and the faster choice inside the full train step where it overlaps with
-    MXU work) or "two_pass" (axis-gather decomposition — faster standalone).
+    ``method``:
+    - "shear3" (default): quarter-turn + three bit-rolled row-shift shears
+      (:func:`_rotate_shear3`) — pure VPU work, ~2 ms in the 512^2 batch-16
+      train step vs ~36 ms for the 2-D gather (which lowers to the scalar
+      core at ~0.5 GB/s);
+    - "gather": direct 2-D nearest map — the exactness oracle;
+    - "two_pass": round-1 axis-gather decomposition (kept for comparison).
     """
     n, h, w, c = stacked.shape
     k_flip, k_rot = jax.random.split(key)
@@ -151,6 +228,8 @@ def random_geometric(
     flipped = jax.lax.optimization_barrier(flipped)
     if method == "two_pass":
         return _rotate_two_pass(flipped, angles)
+    if method == "shear3":
+        return _rotate_shear3(flipped, angles)
     return jax.vmap(_rotate_one)(flipped, angles)
 
 
@@ -321,11 +400,12 @@ class DataAugmentor:
     # "xla": fused by the compiler; "pallas": ops/pallas_preprocess.py fused
     # kernel for the colour+blur stage (identical results, tested).
     backend: str = "xla"
-    # Rotation implementation: direct 2-D "gather" or "two_pass" axis
-    # gathers.  Standalone the 2-D gather is ~30 ms (scalar core) vs ~2 ms,
-    # but inside the full jitted train step it OVERLAPS with MXU conv work
-    # and wins end-to-end (56.9 vs 50.6 img/s, LargeUNet@512 batch 16 v5e).
-    geometry: str = "gather"
+    # Rotation implementation: "shear3" (bit-rolled shears, VPU-only — the
+    # fast path: 90.1 vs 75.8 img/s end-to-end, LargeUNet@512 batch 16 v5e;
+    # the round-1 belief that the 2-D gather overlapped with MXU work was
+    # wrong, it serializes on the scalar core), "gather" (direct 2-D nearest
+    # map, the exactness oracle) or "two_pass" (round-1 axis gathers).
+    geometry: str = "shear3"
 
     def _colour_stage(self, kc, kb, images_u8_or_f32, *, from_u8: bool, dtype):
         """normalize (if from u8) + jitter + blur via the selected backend."""

@@ -181,3 +181,70 @@ class TestPromptAugmentor:
         assert out_p.shape == prompts.shape
         np.testing.assert_array_equal(np.asarray(out_p)[0], np.asarray(prompts)[0])
         np.testing.assert_array_equal(np.asarray(out_p)[3], np.asarray(prompts)[3])
+
+
+class TestShear3Rotation:
+    """The production rotation path: quarter-turn + bit-rolled shears."""
+
+    def test_exact_at_quarter_turns(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.integers(0, 256, (3, 32, 32, 4), dtype=np.uint8))
+        for deg in (0.0, 90.0, -90.0):
+            a = jnp.full((3,), deg, jnp.float32)
+            direct = jax.vmap(augment._rotate_one)(x, a)
+            fast = augment._rotate_shear3(x, a)
+            np.testing.assert_array_equal(np.asarray(direct), np.asarray(fast))
+
+    def test_subpixel_agreement_with_direct_gather(self):
+        h = w = 64
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        coord = np.stack([yy, xx], -1).astype(np.float32) + 1.0
+        x = jnp.asarray(np.tile(coord[None], (4, 1, 1, 1)))
+        a = jnp.asarray(np.array([45.0, 30.0, -45.0, 60.0], np.float32))
+        direct = np.asarray(jax.vmap(augment._rotate_one)(x, a))
+        fast = np.asarray(augment._rotate_shear3(x, a))
+        both = (direct[..., 0] > 0) & (fast[..., 0] > 0)
+        d = np.abs(direct - fast)[both]
+        assert d.max() <= 1.0 + 1e-6  # each shear rounds once: <= 1px
+        assert d.mean() < 0.25
+
+    def test_is_bijection_on_interior(self):
+        """Composed integer row shifts never duplicate or drop pixels (the
+        direct nearest map does) — every interior source pixel appears at
+        most once in the output."""
+        h = w = 64
+        ident = jnp.asarray(
+            (np.arange(h * w, dtype=np.float32) + 1.0).reshape(1, h, w, 1)
+        )
+        out = np.asarray(
+            augment._rotate_shear3(ident, jnp.asarray([37.0], jnp.float32))
+        )[0, ..., 0]
+        vals = out[out > 0]
+        assert len(vals) == len(np.unique(vals))
+
+    def test_row_shift_exact(self):
+        rng = np.random.default_rng(1)
+        x = rng.integers(0, 255, (3, 16, 32, 2), dtype=np.uint8)
+        s = rng.integers(-10, 11, (3, 16))
+        got = np.asarray(
+            augment._row_shift(jnp.asarray(x), jnp.asarray(s), 10)
+        )
+        ref = np.zeros_like(x)
+        for b in range(3):
+            for i in range(16):
+                for j in range(32):
+                    src = j - s[b, i]
+                    if 0 <= src < 32:
+                        ref[b, i, j] = x[b, i, src]
+        np.testing.assert_array_equal(got, ref)
+
+    def test_channels_move_jointly(self):
+        ident = jnp.asarray(
+            np.tile(
+                np.arange(16 * 16, dtype=np.float32).reshape(1, 16, 16, 1),
+                (2, 1, 1, 2),
+            )
+        )
+        a = jnp.asarray(np.array([33.0, -71.0], np.float32))
+        out = np.asarray(augment._rotate_shear3(ident, a))
+        np.testing.assert_array_equal(out[..., 0], out[..., 1])

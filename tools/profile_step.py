@@ -1,0 +1,100 @@
+"""Profile the production train step on the real TPU and print the top ops.
+
+Usage: python tools/profile_step.py [--batch 16] [--size 512] [--steps 5]
+Writes an XProf trace then parses the op profile straight from the
+trace protobufs (no TensorBoard UI needed).
+"""
+import argparse
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+import glob
+import gzip
+import json
+import os
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--logdir", default="/tmp/profile-step")
+    ap.add_argument("--no-w2d", action="store_true")
+    ap.add_argument("--model", default="large_unet")
+    ap.add_argument("--geometry", default="gather")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from image_segmentation_tpu.config import DataConfig, TrainConfig
+    from image_segmentation_tpu.engine.train import Trainer
+
+    cfg = TrainConfig(
+        model=args.model,
+        batch_size=args.batch,
+        num_epochs=1,
+        model_args={} if args.no_w2d else {"w2d_level0": True},
+        data=DataConfig(
+            dataset="synthetic", synthetic_length=args.batch,
+            image_size=args.size, augmentations_per_datapoint=4,
+        ),
+    )
+    trainer = Trainer(cfg, make_artifacts=False)
+    if args.geometry != "gather":
+        from image_segmentation_tpu.ops import augment as aug_ops
+        trainer.augmentor = aug_ops.DataAugmentor(4, geometry=args.geometry)
+        trainer._train_step = trainer._build_train_step()
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (args.batch, args.size, args.size, 3), dtype=np.uint8))
+    masks = jnp.asarray(rng.integers(0, 3, (args.batch, args.size, args.size)).astype(np.uint8))
+
+    # Warmup (vary key per step: the axon runtime caches identical executions)
+    for i in range(3):
+        key = jax.random.PRNGKey(i)
+        trainer.state, loss = trainer._train_step(trainer.state, images, masks, key)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(10):
+        key = jax.random.PRNGKey(100 + i)
+        trainer.state, loss = trainer._train_step(trainer.state, images, masks, key)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / 10
+    print(f"step: {dt*1e3:.1f} ms  ({args.batch/dt:.1f} img/s)")
+
+    os.system(f"rm -rf {args.logdir}")
+    with jax.profiler.trace(args.logdir):
+        for i in range(args.steps):
+            key = jax.random.PRNGKey(200 + i)
+            trainer.state, loss = trainer._train_step(trainer.state, images, masks, key)
+        jax.block_until_ready(loss)
+
+    # Parse the op profile from the trace.
+    from tensorboard_plugin_profile.convert import raw_to_tool_data as rttd
+    run_dir = glob.glob(os.path.join(args.logdir, "plugins/profile/*"))[0]
+    xspace = glob.glob(os.path.join(run_dir, "*.xplane.pb"))
+    data, _ = rttd.xspace_to_tool_data(xspace, "op_profile", {})
+    prof = json.loads(data)
+
+    def walk(node, depth=0, out=None):
+        m = node.get("metrics", {})
+        out.append((m.get("rawTime", 0), node.get("name", "?"), m.get("flops", 0), depth))
+        for c in node.get("children", []):
+            walk(c, depth + 1, out)
+        return out
+
+    root = prof.get("byProgram") or prof.get("byCategory")
+    rows = walk(root, 0, [])
+    total = rows[0][0] or 1
+    # leaf ops only (no children aggregation double count): take depth>=2 entries
+    leaves = [r for r in rows if r[3] >= 3]
+    leaves.sort(reverse=True)
+    print(f"\n{'time%':>6} {'ms/step':>8}  op")
+    for t, name, flops, _ in leaves[:25]:
+        print(f"{100*t/total:6.2f} {t/1e9/args.steps*1e3:8.2f}  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()
