@@ -69,7 +69,7 @@ class ClipUnet(nn.Module):
             h4 = folded.FoldedConvBlockDownsample(
                 32, 64, folded.FOLD, self.dtype, name="enc1"
             )(stem4, train=train)
-            enc1 = folded.d2w(h4, 64, folded.FOLD)
+            enc1 = folded.d2w(h4, 64, folded.FOLD // 2)  # pool halves the fold
         else:
             stem = nn.Conv(
                 32, (1, 1), padding="VALID", dtype=self.dtype, name="input"

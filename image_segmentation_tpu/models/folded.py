@@ -47,6 +47,13 @@ def d2w(x: jax.Array, c: int, f: int = FOLD) -> jax.Array:
     return x.reshape(b, h, wp * f, c)
 
 
+def refold(x4: jax.Array, c: int, f_from: int, f_to: int) -> jax.Array:
+    """Change the fold factor (a relayout; used only off the default path)."""
+    if f_from == f_to:
+        return x4
+    return w2d(d2w(x4, c, f_from), f_to)
+
+
 def _expand_kernel(w: jax.Array, f: int) -> jax.Array:
     """(kh, 3, Ci, Co) -> (kh, 3, f*Ci, f*Co) folded 3x3 kernel."""
     kh, kw, ci, co = w.shape
@@ -63,13 +70,60 @@ def _expand_kernel(w: jax.Array, f: int) -> jax.Array:
     return wp.reshape(kh, 3, f * ci, f * co)
 
 
+def _halo_kernel(w: jax.Array, f: int) -> jax.Array:
+    """(kh, 3, Ci, Co) -> (kh, 1, (f+2)*Ci, f*Co) kernel over a haloed input.
+
+    With the input augmented per block by one column of halo on each side
+    (slot t = original column f*J + t - 1), the folded 3x3 conv is a width-1
+    conv: K'[dy, 0, (t, ci), (qx, co)] = w[dy, t-qx, ci, co] for t-qx in
+    {0, 1, 2}.  Dense FLOPs = 3*(f+2)/(9/f)... = (f+2)/3 x logical — 2x for
+    f=4 vs the 4x of :func:`_expand_kernel`.
+    """
+    kh, kw, ci, co = w.shape
+    assert kw == 3
+    sel = np.zeros((f + 2, f, 3), np.float32)  # t, qx, dj+1
+    for qx in range(f):
+        for dj in (-1, 0, 1):
+            sel[qx + dj + 1, qx, dj + 1] = 1.0
+    selj = jnp.asarray(sel, w.dtype)
+    kp = jnp.einsum("tqD,aDio->atiqo", selj, w)  # (kh, f+2, ci, f, co)
+    return kp.reshape(kh, 1, (f + 2) * ci, f * co)
+
+
+def _halo(x4: jax.Array, ci: int, f: int) -> jax.Array:
+    """(B, H, Wp, f*Ci) -> (B, H, Wp, (f+2)*Ci): columns [fJ-1 .. fJ+f]
+    per block (zero-padded at the image edges, matching SAME padding)."""
+    b, h, wp, _ = x4.shape
+    x5 = x4.reshape(b, h, wp, f, ci)
+    z = jnp.zeros((b, h, 1, ci), x4.dtype)
+    prev_last = jnp.concatenate([z, x5[:, :, :-1, f - 1]], axis=2)
+    next_first = jnp.concatenate([x5[:, :, 1:, 0], z], axis=2)
+    return jnp.concatenate([prev_last, x4, next_first], axis=-1)
+
+
 class FoldedConv(nn.Module):
-    """3x3 SAME conv on a folded tensor; param tree identical to nn.Conv."""
+    """3x3 SAME conv on a folded tensor; param tree identical to nn.Conv.
+
+    ``impl``: "dense" expands to a width-3 folded kernel (f x logical
+    FLOPs) with no extra buffers; "halo" materializes a 2-column halo per
+    block and contracts a width-1 kernel ((f+2)/3 x logical FLOPs — 2x at
+    f=4).  Both exact.  Measured on v5e (tools/exp_conv_forms.py,
+    B16 512^2 32->64): dense 7.1 ms fwd vs halo 12.4 ms — the halo
+    materialization (strided sublane copies + a 192->256 lane-padded
+    buffer) costs more than the FLOPs it saves, so "dense" is the default.
+    """
 
     in_features: int
     features: int
     fold: int = FOLD
     dtype: Any = jnp.bfloat16
+    impl: str = "dense"
+    # Optional input-channel permutation absorbed into the expanded kernel:
+    # in_perm[actual_channel] = canonical slot-major index (t*Ci + ci).
+    # Lets callers feed non-canonical layouts (e.g. a plain block concat
+    # [A | B] instead of a per-slot interleave) at ZERO tensor cost — the
+    # reindex happens on the (3,3,f*Ci,f*Co) kernel, not the activations.
+    in_perm: Any = None
 
     @nn.compact
     def __call__(self, x4: jax.Array) -> jax.Array:
@@ -79,61 +133,140 @@ class FoldedConv(nn.Module):
             (3, 3, self.in_features, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        wp = _expand_kernel(kernel.astype(self.dtype), self.fold)
+        if self.impl == "halo":
+            wp = _halo_kernel(kernel.astype(self.dtype), self.fold)
+            inp = _halo(x4.astype(self.dtype), self.in_features, self.fold)
+            pad_w = (0, 0)
+        else:
+            wp = _expand_kernel(kernel.astype(self.dtype), self.fold)
+            inp = x4.astype(self.dtype)
+            pad_w = (1, 1)
+        if self.in_perm is not None:
+            wp = wp[:, :, np.asarray(self.in_perm, np.int32), :]
         out = jax.lax.conv_general_dilated(
-            x4.astype(self.dtype),
+            inp,
             wp,
             (1, 1),
-            padding=((1, 1), (1, 1)),
+            padding=((1, 1), pad_w),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         return out + jnp.tile(bias.astype(self.dtype), self.fold)
 
 
+class FoldedBatchNorm(nn.Module):
+    """BatchNorm over a width-folded tensor with NO 5-D reshape.
+
+    Parameter/variable tree identical to ``nn.BatchNorm(features)`` (params
+    ``scale``/``bias``, batch_stats ``mean``/``var``, all ``(features,)``),
+    so checkpoints are shared with the standard blocks.
+
+    The 5-D view the previous implementation used
+    (``(B,H,Wp,f*C) -> (B,H,Wp,f,C)``) retiles the whole activation (lane
+    dim f*C -> C), a physical relayout copy in BOTH directions that XProf
+    showed costing multiple ms per block at 512^2.  Instead: reduce the FLAT
+    (f*C,) channel axis, fold the resulting length-f*C vectors to (C,) (a
+    tiny op), and apply the normalization with ``jnp.tile``-broadcast
+    vectors directly on the folded buffer.  Statistics are identical (the
+    fold axis is just more reduced elements per logical channel); numerics
+    match flax's fast-variance formulation.
+    """
+
+    features: int
+    fold: int = FOLD
+    use_running_average: bool = False
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x4: jax.Array) -> jax.Array:
+        c, f = self.features, self.fold
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if self.use_running_average:
+            mean_c, var_c = ra_mean.value, ra_var.value
+        else:
+            xf = x4.astype(jnp.float32)
+            m1 = jnp.mean(xf, axis=(0, 1, 2))            # (f*c,)
+            m2 = jnp.mean(xf * xf, axis=(0, 1, 2))
+            mean_c = m1.reshape(f, c).mean(axis=0)
+            mean2_c = m2.reshape(f, c).mean(axis=0)
+            var_c = jnp.maximum(0.0, mean2_c - mean_c * mean_c)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean_c
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var_c
+                )
+        # y = (x - mean) * rsqrt(var+eps) * scale + bias  ==  x*a + b
+        a = jax.lax.rsqrt(var_c + self.epsilon) * scale
+        b = bias - mean_c * a
+        a_f = jnp.tile(a, f).astype(self.dtype)
+        b_f = jnp.tile(b, f).astype(self.dtype)
+        return x4.astype(self.dtype) * a_f + b_f
+
+
 class FoldedConvBlock(nn.Module):
-    """[FoldedConv -> BN -> ReLU] x2; tree identical to blocks.ConvBlock."""
+    """[FoldedConv -> BN -> ReLU] x2; tree identical to blocks.ConvBlock.
+
+    ``in_perm`` (optional) is absorbed into conv1's expanded kernel (see
+    :class:`FoldedConv`)."""
 
     in_features: int
     features: int
     fold: int = FOLD
     dtype: Any = jnp.bfloat16
+    in_perm: Any = None
 
     @nn.compact
     def __call__(self, x4: jax.Array, *, train: bool = False) -> jax.Array:
         f, feats = self.fold, self.features
 
         def bn(name, h4):
-            b, hh, wp, _ = h4.shape
-            h5 = h4.reshape(b, hh, wp, f, feats)
-            out = nn.BatchNorm(
+            return FoldedBatchNorm(
+                feats,
+                f,
                 use_running_average=not train,
-                momentum=BN_MOMENTUM,
-                epsilon=BN_EPS,
                 dtype=self.dtype,
                 name=name,
-            )(h5)
-            return out.reshape(b, hh, wp, f * feats)
+            )(h4)
 
-        h = FoldedConv(self.in_features, feats, f, self.dtype, name="conv1")(x4)
+        h = FoldedConv(
+            self.in_features, feats, f, self.dtype, in_perm=self.in_perm,
+            name="conv1",
+        )(x4)
         h = nn.relu(bn("bn1", h))
         h = FoldedConv(feats, feats, f, self.dtype, name="conv2")(h)
         return nn.relu(bn("bn2", h))
 
 
 def folded_max_pool_2x2(x4: jax.Array, features: int, fold: int = FOLD) -> jax.Array:
-    """2x2/2 max-pool on a folded tensor, output re-folded by the same factor.
+    """2x2/2 max-pool on a folded tensor; output folded by ``fold // 2``.
 
-    Width pairs live inside fold slots ((0,1),(2,3) of a 4-slot block); after
-    pooling, adjacent half-blocks are re-paired so the fold factor stays 4.
+    Width pairs live in ADJACENT fold slots, i.e. channel slices — the max
+    is a pure lane operation, and halving the fold factor means the result
+    needs no regrouping at all (the previous 6-D regroup was a relayout
+    copy).  Output block J holds pooled columns ``(fold//2)*J + u`` in slot
+    u — exactly the ``w2d(pooled, fold//2)`` canonical layout.
     """
     b, h, wp, fc = x4.shape
-    half = fold // 2
-    x6 = x4.reshape(b, h, wp, half, 2, features)
-    x5 = jnp.max(x6, axis=4)                                # width pairs
-    x5 = jnp.max(x5.reshape(b, h // 2, 2, wp, half, features), axis=2)  # height
-    # regroup: pooled col = half*J + t  ->  new block J'=J//2, slot (J%2, t)
-    x6 = x5.reshape(b, h // 2, wp // 2, 2, half, features)
-    return x6.reshape(b, h // 2, wp // 2, fold * features)
+    c, half = features, fold // 2
+    cols = [
+        jnp.maximum(
+            x4[..., (2 * t) * c : (2 * t + 1) * c],
+            x4[..., (2 * t + 1) * c : (2 * t + 2) * c],
+        )
+        for t in range(half)
+    ]
+    m = cols[0] if half == 1 else jnp.concatenate(cols, axis=-1)
+    return jnp.maximum(m[:, 0::2], m[:, 1::2])  # (b, h/2, wp, half*c)
 
 
 class FoldedConvTranspose2x2(nn.Module):
@@ -181,17 +314,30 @@ class FoldedConvTranspose2x2(nn.Module):
         return out + jnp.tile(bias.astype(self.dtype), f)
 
 
-def folded_concat(a4: jax.Array, b4: jax.Array, ca: int, cb: int,
-                  fold: int = FOLD) -> jax.Array:
-    """Channel-concat two folded tensors (per fold slot)."""
-    b, h, wp, _ = a4.shape
-    a5 = a4.reshape(b, h, wp, fold, ca)
-    b5 = b4.reshape(b, h, wp, fold, cb)
-    return jnp.concatenate([a5, b5], axis=-1).reshape(b, h, wp, fold * (ca + cb))
+def concat_perm(ca: int, cb: int, fold: int = FOLD) -> tuple:
+    """Kernel-side permutation for a PLAIN channel concat of two folded
+    tensors (``[A | B]``, block layout) feeding a :class:`FoldedConv`.
+
+    perm[actual] = canonical slot-major index (t, ci) with ci < ca from A
+    and ci >= ca from B.  A per-slot interleaved concat (the old
+    ``folded_concat``) would relayout both activations; the plain concat +
+    kernel permutation moves zero activation bytes.
+    """
+    perm = []
+    for t in range(fold):
+        for i in range(ca):
+            perm.append(t * (ca + cb) + i)
+    for t in range(fold):
+        for i in range(cb):
+            perm.append(t * (ca + cb) + ca + i)
+    return tuple(perm)
 
 
 class FoldedConvBlockDownsample(nn.Module):
-    """Folded ConvBlock + folded 2x2 max-pool; tree == ConvBlockDownsample."""
+    """Folded ConvBlock + folded 2x2 max-pool; tree == ConvBlockDownsample.
+
+    NOTE: the output is folded by ``fold // 2`` (see
+    :func:`folded_max_pool_2x2`)."""
 
     in_features: int
     features: int
@@ -229,9 +375,12 @@ class FoldedConvBlockUpsampleSkip(nn.Module):
             "folded decoder requires matching resolutions (resize would be "
             f"non-identity): {up4.shape} vs {skip4.shape}"
         )
-        h = folded_concat(up4, skip4, self.features,
-                          skip4.shape[-1] // self.fold, self.fold)
+        cb = skip4.shape[-1] // self.fold
+        # plain block concat; the slot interleave is absorbed into the next
+        # conv's expanded kernel (zero activation relayout).
+        h = jnp.concatenate([up4, skip4.astype(up4.dtype)], axis=-1)
         return FoldedConvBlock(
             2 * self.features, self.features, self.fold, self.dtype,
+            in_perm=concat_perm(self.features, cb, self.fold),
             name="conv_block",
         )(h, train=train)

@@ -96,24 +96,26 @@ class UNet(nn.Module):
         )(x5)
         stem4 = stem5.reshape(b, hh, ww // f, f * stem_c)
 
-        # enc1 folded; deeper (wide-channel) levels run unfolded
+        # enc1 folded; deeper (wide-channel) levels run unfolded.
+        # NOTE: the folded pool halves the fold factor (models/folded.py),
+        # so post-pool tensors come out folded by f//2.
         e1_feats = self.encoder_features[0]
         h4 = folded.FoldedConvBlockDownsample(
             stem_c, e1_feats, f, self.dtype, name="enc1"
         )(stem4, train=train)
-        enc1_folded = h4
+        enc1_folded = h4  # folded by f//2
 
         fold_l1 = self.w2d_level1 and len(self.encoder_features) >= 2
         if fold_l1:
             e2_feats = self.encoder_features[1]
             h4 = folded.FoldedConvBlockDownsample(
                 e1_feats, e2_feats, f, self.dtype, name="enc2"
-            )(h4, train=train)
-            h = folded.d2w(h4, e2_feats, f)
+            )(folded.refold(h4, e1_feats, f // 2, f), train=train)
+            h = folded.d2w(h4, e2_feats, f // 2)
             first_std_enc = 3
             skips = [None, None, h]  # enc2 (unfolded) is dec_{N-2}'s skip
         else:
-            h = folded.d2w(h4, e1_feats, f)
+            h = folded.d2w(h4, e1_feats, f // 2)
             first_std_enc = 2
             skips = [None, h]  # enc1 (unfolded) is dec_{N-1}'s skip
 
@@ -142,7 +144,7 @@ class UNet(nn.Module):
             h4 = folded.FoldedConvBlockUpsampleSkip(
                 dec_feats[-3], e1_feats, f, self.dtype,
                 name=f"dec{len(dec_feats) - 1}",
-            )(h, enc1_folded, train=train)
+            )(h, folded.refold(enc1_folded, e1_feats, f // 2, f), train=train)
             h = folded.d2w(h4, e1_feats, f)
 
         # final decoder level folded (skip = folded stem)

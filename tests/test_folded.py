@@ -65,7 +65,9 @@ class TestFoldedPool:
     def test_matches_standard_pool(self):
         x = rand((2, 16, 16, 8))
         ref = max_pool_2x2(x)
-        out = folded.d2w(folded.folded_max_pool_2x2(folded.w2d(x), 8), 8)
+        # the folded pool halves the fold factor (no regroup relayout)
+        out = folded.d2w(folded.folded_max_pool_2x2(folded.w2d(x), 8), 8,
+                         folded.FOLD // 2)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
 
 
@@ -79,7 +81,8 @@ class TestFoldedDownsample:
             variables, folded.w2d(x), train=False
         )
         np.testing.assert_allclose(
-            np.asarray(folded.d2w(out4, 16)), np.asarray(ref), **TOL
+            np.asarray(folded.d2w(out4, 16, folded.FOLD // 2)),
+            np.asarray(ref), **TOL
         )
 
 

@@ -1,0 +1,109 @@
+"""Native (Mosaic-compiled) Pallas kernel tests — real TPU only.
+
+The regular suite runs on a virtual CPU mesh where Pallas executes in
+interpret mode; these tests compile the kernels NATIVELY and are the
+silicon evidence for the BASELINE.json "fused Pallas kernel" north stars.
+
+Run with:  IMGSEG_TEST_REAL_TPU=1 python -m pytest tests/test_real_tpu_kernels.py -v
+
+(conftest.py skips its CPU forcing when IMGSEG_TEST_REAL_TPU is set.)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+requires_real_tpu = pytest.mark.skipif(
+    not os.environ.get("IMGSEG_TEST_REAL_TPU"),
+    reason="set IMGSEG_TEST_REAL_TPU=1 (real TPU) to run native Pallas tests",
+)
+
+
+@pytest.fixture(scope="module")
+def tpu_backend():
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip(f"no TPU backend (got {jax.default_backend()})")
+    return jax.default_backend()
+
+
+@requires_real_tpu
+def test_cross_attention_native(tpu_backend):
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.ops.cross_attention import (
+        pallas_cross_attention,
+        reference_cross_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    b, l, s, d, heads = 2, 1024, 1, 512, 4
+    q = jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+
+    out = jax.jit(
+        lambda q, k, v: pallas_cross_attention(q, k, v, heads, interpret=False)
+    )(q, k, v)
+    ref = reference_cross_attention(q, k, v, heads)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+    )
+
+
+@requires_real_tpu
+def test_cross_attention_native_multitoken_blockwise(tpu_backend):
+    """The general (multi-kv, blockwise-q) path, beyond any production config."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.ops.cross_attention import (
+        pallas_cross_attention,
+        reference_cross_attention,
+    )
+
+    rng = np.random.default_rng(1)
+    b, l, s, d, heads = 1, 4096, 8, 512, 1
+    q = jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+
+    out = jax.jit(
+        lambda q, k, v: pallas_cross_attention(
+            q, k, v, heads, block_q=512, interpret=False
+        )
+    )(q, k, v)
+    ref = reference_cross_attention(q, k, v, heads)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+    )
+
+
+@requires_real_tpu
+def test_pallas_preprocess_native(tpu_backend):
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.ops import augment as A
+    from image_segmentation_tpu.ops.pallas_preprocess import pallas_preprocess
+
+    rng = np.random.default_rng(2)
+    n, h, w = 4, 256, 256
+    images = jnp.asarray(rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8))
+    key = jax.random.PRNGKey(0)
+    kj, kb = jax.random.split(key)
+    jitter = A.sample_jitter_factors(kj, n)
+    blur = A.sample_blur_weights(kb, n)
+
+    out = jax.jit(
+        lambda im, j, bw: pallas_preprocess(im, j, bw, interpret=False)
+    )(images, jitter, blur)
+    ref = pallas_preprocess(images, jitter, blur, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
