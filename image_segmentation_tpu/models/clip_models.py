@@ -48,6 +48,9 @@ class ClipUnet(nn.Module):
     # exact width-to-depth fast path for the full-resolution level
     # (models/folded.py; shared parameter tree, equivalence tested)
     w2d_level0: bool = False
+    # folded-conv implementation ("dense" / "halo" / "pallas"), see
+    # models/folded.FoldedConv
+    w2d_impl: str = "dense"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -67,7 +70,8 @@ class ClipUnet(nn.Module):
             )(x5)
             stem4 = stem5.reshape(b, hh, ww // folded.FOLD, folded.FOLD * 32)
             h4 = folded.FoldedConvBlockDownsample(
-                32, 64, folded.FOLD, self.dtype, name="enc1"
+                32, 64, folded.FOLD, self.dtype, impl=self.w2d_impl,
+                name="enc1"
             )(stem4, train=train)
             enc1 = folded.d2w(h4, 64, folded.FOLD // 2)  # pool halves the fold
         else:
@@ -93,7 +97,8 @@ class ClipUnet(nn.Module):
         h = ConvBlockUpsampleSkip(64, dtype=self.dtype, name="dec3")(h, enc1, train=train)
         if use_fold:
             h4 = folded.FoldedConvBlockUpsampleSkip(
-                64, 32, folded.FOLD, self.dtype, name="dec4"
+                64, 32, folded.FOLD, self.dtype, impl=self.w2d_impl,
+                name="dec4"
             )(h, stem4, train=train)
             out5 = nn.Conv(
                 self.out_channels, (1, 1), padding="VALID", dtype=self.dtype,

@@ -107,10 +107,13 @@ class FoldedConv(nn.Module):
     ``impl``: "dense" expands to a width-3 folded kernel (f x logical
     FLOPs) with no extra buffers; "halo" materializes a 2-column halo per
     block and contracts a width-1 kernel ((f+2)/3 x logical FLOPs — 2x at
-    f=4).  Both exact.  Measured on v5e (tools/exp_conv_forms.py,
-    B16 512^2 32->64): dense 7.1 ms fwd vs halo 12.4 ms — the halo
+    f=4); "pallas" runs the fused halo kernel (ops/pallas_conv.py) that
+    builds the halo in VMEM — (f+2)/3 x logical FLOPs with zero extra HBM
+    traffic.  All exact.  Measured on v5e (tools/exp_conv_forms.py,
+    B16 512^2 32->64): dense 7.1 ms fwd vs halo 12.4 ms — the XLA halo
     materialization (strided sublane copies + a 192->256 lane-padded
-    buffer) costs more than the FLOPs it saves, so "dense" is the default.
+    buffer) costs more than the FLOPs it saves, so "dense" is the XLA
+    default; see tools/exp_pallas_conv_tpu.py for the Pallas numbers.
     """
 
     in_features: int
@@ -133,6 +136,23 @@ class FoldedConv(nn.Module):
             (3, 3, self.in_features, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.impl == "pallas":
+            from ..ops.pallas_conv import make_folded_conv3x3
+
+            conv = make_folded_conv3x3(
+                self.in_features,
+                self.features,
+                self.fold,
+                in_perm=(
+                    tuple(int(p) for p in self.in_perm)
+                    if self.in_perm is not None
+                    else None
+                ),
+                # Mosaic only exists on TPU; tests on the virtual CPU mesh
+                # run the same kernel in interpret mode.
+                interpret=jax.default_backend() not in ("tpu", "axon"),
+            )
+            return conv(x4.astype(self.dtype), kernel, bias)
         if self.impl == "halo":
             wp = _halo_kernel(kernel.astype(self.dtype), self.fold)
             inp = _halo(x4.astype(self.dtype), self.in_features, self.fold)
@@ -224,6 +244,7 @@ class FoldedConvBlock(nn.Module):
     fold: int = FOLD
     dtype: Any = jnp.bfloat16
     in_perm: Any = None
+    impl: str = "dense"
 
     @nn.compact
     def __call__(self, x4: jax.Array, *, train: bool = False) -> jax.Array:
@@ -239,11 +260,13 @@ class FoldedConvBlock(nn.Module):
             )(h4)
 
         h = FoldedConv(
-            self.in_features, feats, f, self.dtype, in_perm=self.in_perm,
-            name="conv1",
+            self.in_features, feats, f, self.dtype, impl=self.impl,
+            in_perm=self.in_perm, name="conv1",
         )(x4)
         h = nn.relu(bn("bn1", h))
-        h = FoldedConv(feats, feats, f, self.dtype, name="conv2")(h)
+        h = FoldedConv(
+            feats, feats, f, self.dtype, impl=self.impl, name="conv2"
+        )(h)
         return nn.relu(bn("bn2", h))
 
 
@@ -343,12 +366,13 @@ class FoldedConvBlockDownsample(nn.Module):
     features: int
     fold: int = FOLD
     dtype: Any = jnp.bfloat16
+    impl: str = "dense"
 
     @nn.compact
     def __call__(self, x4: jax.Array, *, train: bool = False) -> jax.Array:
         h = FoldedConvBlock(
             self.in_features, self.features, self.fold, self.dtype,
-            name="conv_block",
+            impl=self.impl, name="conv_block",
         )(x4, train=train)
         return folded_max_pool_2x2(h, self.features, self.fold)
 
@@ -363,6 +387,7 @@ class FoldedConvBlockUpsampleSkip(nn.Module):
     features: int
     fold: int = FOLD
     dtype: Any = jnp.bfloat16
+    impl: str = "dense"
 
     @nn.compact
     def __call__(
@@ -382,5 +407,5 @@ class FoldedConvBlockUpsampleSkip(nn.Module):
         return FoldedConvBlock(
             2 * self.features, self.features, self.fold, self.dtype,
             in_perm=concat_perm(self.features, cb, self.fold),
-            name="conv_block",
+            impl=self.impl, name="conv_block",
         )(h, train=train)

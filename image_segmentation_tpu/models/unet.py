@@ -42,6 +42,10 @@ class UNet(nn.Module):
     # Also fold level 1 (enc2 + the second-to-last decoder); requires
     # w2d_level0 and at least 2 encoder levels.
     w2d_level1: bool = False
+    # Folded-conv implementation: "dense" (XLA, expanded kernel), "halo"
+    # (XLA, materialized halo), or "pallas" (fused VMEM-halo kernel,
+    # ops/pallas_conv.py).
+    w2d_impl: str = "dense"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -101,7 +105,7 @@ class UNet(nn.Module):
         # so post-pool tensors come out folded by f//2.
         e1_feats = self.encoder_features[0]
         h4 = folded.FoldedConvBlockDownsample(
-            stem_c, e1_feats, f, self.dtype, name="enc1"
+            stem_c, e1_feats, f, self.dtype, impl=self.w2d_impl, name="enc1"
         )(stem4, train=train)
         enc1_folded = h4  # folded by f//2
 
@@ -109,7 +113,8 @@ class UNet(nn.Module):
         if fold_l1:
             e2_feats = self.encoder_features[1]
             h4 = folded.FoldedConvBlockDownsample(
-                e1_feats, e2_feats, f, self.dtype, name="enc2"
+                e1_feats, e2_feats, f, self.dtype, impl=self.w2d_impl,
+                name="enc2"
             )(folded.refold(h4, e1_feats, f // 2, f), train=train)
             h = folded.d2w(h4, e2_feats, f // 2)
             first_std_enc = 3
@@ -142,14 +147,15 @@ class UNet(nn.Module):
         if fold_l1:
             # second-to-last decoder folded (skip = folded enc1)
             h4 = folded.FoldedConvBlockUpsampleSkip(
-                dec_feats[-3], e1_feats, f, self.dtype,
+                dec_feats[-3], e1_feats, f, self.dtype, impl=self.w2d_impl,
                 name=f"dec{len(dec_feats) - 1}",
             )(h, folded.refold(enc1_folded, e1_feats, f // 2, f), train=train)
             h = folded.d2w(h4, e1_feats, f)
 
         # final decoder level folded (skip = folded stem)
         h4 = folded.FoldedConvBlockUpsampleSkip(
-            dec_feats[-2], stem_c, f, self.dtype, name=f"dec{len(dec_feats)}"
+            dec_feats[-2], stem_c, f, self.dtype, impl=self.w2d_impl,
+            name=f"dec{len(dec_feats)}"
         )(h, stem4, train=train)
 
         out5 = nn.Conv(

@@ -1,0 +1,348 @@
+"""Pallas TPU kernel for the width-folded 3x3 convolution.
+
+The folded layout (models/folded.py) keeps level-0/1 activations as
+``(B, H, W/f, f*C)`` so the lane dimension is a full 128 multiple — no
+XLA lane padding, 1x HBM traffic.  XLA's best formulations on this layout
+still run the dominant convs at 7-14% of bf16 MXU peak (measured,
+tools/exp_conv_forms.py): the dense expanded kernel pays 4x logical
+FLOPs, and the 2x "halo" form loses its advantage to the halo
+materialization round-trip through HBM.
+
+This kernel gets both wins at once: the halo (one extra column of
+context per side of each fold block) is built **in VMEM** from the row
+slab with two sublane shifts + lane slices (no HBM traffic), and the
+conv contracts as three per-``dy`` matmuls
+
+    out[(h,wp), (qx,co)] += aug[(h+dy,wp), (t,ci)] @ K'[dy][(t,ci),(qx,co)]
+
+with ``K' = _halo_kernel(w)`` — contraction width ``(f+2)*Ci`` (192..1152
+lanes at the shapes that matter), output width ``f*Co`` (128..512): the
+MXU runs near-full instead of 9 underfilled ``Ci``-deep taps.
+
+Grid: ``(B, H/h_tile)``; the +-1 ``dy`` halo rows are delivered by passing
+the SAME input array through three BlockSpecs with offset index maps
+(mid: ``h_tile`` rows at tile i; top/bot: one row clamped to the image),
+so Mosaic's automatic pipelining double-buffers everything — no manual
+DMA, no dynamic scratch indexing (both crash this remote-compile
+toolchain).  SAME zero padding is reproduced exactly: edge rows/columns
+of the halo are zero-filled in VMEM.
+
+Layout permutations (``in_perm`` — e.g. the decoder's plain ``[up|skip]``
+channel concat) are absorbed into the *weight matrices* (rows for the
+forward, columns for the input-gradient), so activations are never
+re-laid-out; the halo columns are extracted from the permuted lanes via
+statically-derived contiguous runs.
+
+Gradients: ``dx`` is the same kernel with the flipped/transposed kernel
+(reference conv backward identity); ``dw``/``db`` are XLA contractions
+(large-K matmuls, already MXU-efficient).
+
+Reference parity: this computes exactly ``nn.Conv(features, (3, 3),
+padding=SAME)`` on the unfolded tensor (reference ConvBlock conv,
+models/processing_blocks.py:15-35); equivalence is asserted in
+tests/test_pallas_conv.py against lax.conv_general_dilated.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+
+def _halo_matrices(kernel: jax.Array, fold: int, dtype: Any) -> jax.Array:
+    """(3, 3, Ci, Co) -> (3, (f+2)*Ci, f*Co) canonical per-dy halo matrices.
+
+    Same construction as models/folded._halo_kernel, kept local so the op
+    has no module-level import cycle with models/.
+    """
+    kh, kw, ci, co = kernel.shape
+    assert kh == 3 and kw == 3, "halo matrices are derived for 3x3 kernels"
+    f = fold
+    sel = np.zeros((f + 2, f, 3), np.float32)  # t, qx, dj+1
+    for qx in range(f):
+        for dj in (-1, 0, 1):
+            sel[qx + dj + 1, qx, dj + 1] = 1.0
+    selj = jnp.asarray(sel, kernel.dtype)
+    kp = jnp.einsum("tqD,aDio->atiqo", selj, kernel)  # (3, f+2, ci, f, co)
+    return kp.reshape(3, (f + 2) * ci, f * co).astype(dtype)
+
+
+def _wgrad_from_halo(dkp: jax.Array, fold: int, ci: int, co: int) -> jax.Array:
+    """Adjoint of :func:`_halo_matrices`: (3, (f+2)*Ci, f*Co) -> (3,3,Ci,Co)."""
+    f = fold
+    sel = np.zeros((f + 2, f, 3), np.float32)
+    for qx in range(f):
+        for dj in (-1, 0, 1):
+            sel[qx + dj + 1, qx, dj + 1] = 1.0
+    selj = jnp.asarray(sel, dkp.dtype)
+    dkp5 = dkp.reshape(3, f + 2, ci, f, co)
+    return jnp.einsum("tqD,atiqo->aDio", selj, dkp5)
+
+
+def _slot_runs(perm: np.ndarray, ci: int, slot: int) -> list[tuple[int, int]]:
+    """Contiguous lane runs (start, length) holding canonical ``slot``'s
+    channels, in canonical channel order, under the actual layout ``perm``
+    (perm[actual_lane] = canonical slot-major index)."""
+    lanes = [
+        (perm[j] % ci, j) for j in range(len(perm)) if perm[j] // ci == slot
+    ]
+    lanes.sort()
+    order = [j for _, j in lanes]
+    assert len(order) == ci
+    runs: list[tuple[int, int]] = []
+    start = order[0]
+    length = 1
+    for j in order[1:]:
+        if j == start + length:
+            length += 1
+        else:
+            runs.append((start, length))
+            start, length = j, 1
+    runs.append((start, length))
+    return runs
+
+
+def _pick_h_tile(h: int, limit: int = 32) -> int:
+    for t in (32, 16, 8, 4, 2, 1):
+        if t <= limit and h % t == 0:
+            return t
+    return 1
+
+
+def _conv_kernel_body(
+    top_ref,
+    mid_ref,
+    bot_ref,
+    w_ref,
+    bias_ref,
+    out_ref,
+    *,
+    h_tile: int,
+    wp: int,
+    lanes: int,
+    fold: int,
+    ci: int,
+    n_out: int,
+    prev_runs: Sequence[tuple[int, int]],
+    next_runs: Sequence[tuple[int, int]],
+    out_dtype: Any,
+):
+    ht = h_tile
+    n_h = pl.num_programs(1)
+    i = pl.program_id(1)
+
+    mid = mid_ref[0]  # (ht, wp, lanes)
+    top = top_ref[0]  # (1, wp, lanes)
+    bot = bot_ref[0]
+    # Zero the dy halo rows at the image boundary (SAME padding).
+    if n_h == 1:
+        top = jnp.zeros_like(top)
+        bot = jnp.zeros_like(bot)
+    else:
+        top = jnp.where(i > 0, top, jnp.zeros_like(top))
+        bot = jnp.where(i < n_h - 1, bot, jnp.zeros_like(bot))
+    xv = jnp.concatenate([top, mid, bot], axis=0)  # (ht+2, wp, lanes)
+
+    # Column halo in VMEM: canonical slot f-1 of the previous block /
+    # slot 0 of the next block, zero at the image's w edges.  NOTE the
+    # order: shift the FULL-lane tensor on wp first, slice lanes after —
+    # Mosaic on this toolchain crashes on a sublane shift of a lane slice
+    # taken at a non-tile-aligned offset (tools/exp_mosaic_bisect3.py).
+    zrow = jnp.zeros((ht + 2, 1, lanes), xv.dtype)
+    xv_r = jnp.concatenate([zrow, xv[:, :-1]], axis=1)  # wp shifted +1
+    xv_l = jnp.concatenate([xv[:, 1:], zrow], axis=1)   # wp shifted -1
+    prev = jnp.concatenate(
+        [xv_r[:, :, a : a + n] for (a, n) in prev_runs], axis=-1
+    )
+    nxt_c = jnp.concatenate(
+        [xv_l[:, :, a : a + n] for (a, n) in next_runs], axis=-1
+    )
+    aug = jnp.concatenate([prev, xv, nxt_c], axis=-1)  # (ht+2, wp, lanes+2ci)
+
+    kdim = lanes + 2 * ci
+    acc = jnp.zeros((ht * wp, n_out), jnp.float32)
+    for dy in range(3):
+        a = aug[dy : dy + ht].reshape(ht * wp, kdim)
+        acc = acc + jnp.dot(
+            a, w_ref[dy], preferred_element_type=jnp.float32
+        )
+    acc = acc + bias_ref[0].astype(jnp.float32)
+    out_ref[0] = acc.reshape(ht, wp, n_out).astype(out_dtype)
+
+
+def _folded_conv_pallas(
+    x4: jax.Array,
+    w_mats: jax.Array,
+    bias_f: jax.Array,
+    *,
+    fold: int,
+    ci: int,
+    prev_runs: tuple,
+    next_runs: tuple,
+    h_tile: int | None,
+    interpret: bool,
+) -> jax.Array:
+    """Run the kernel: x4 (B, H, Wp, L) x w_mats (3, L+2ci, N) -> (B, H, Wp, N)."""
+    b, h, wp, lanes = x4.shape
+    n_out = w_mats.shape[-1]
+    ht = h_tile or _pick_h_tile(h)
+    assert h % ht == 0, (h, ht)
+    grid = (b, h // ht)
+
+    kernel = functools.partial(
+        _conv_kernel_body,
+        h_tile=ht,
+        wp=wp,
+        lanes=lanes,
+        fold=fold,
+        ci=ci,
+        n_out=n_out,
+        prev_runs=prev_runs,
+        next_runs=next_runs,
+        out_dtype=x4.dtype,
+    )
+    flops = 2 * b * h * wp * (lanes + 2 * ci) * n_out * 3
+    n_h = h // ht
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            # one row above the tile (clamped; zeroed in-kernel at i == 0)
+            pl.BlockSpec(
+                (1, 1, wp, lanes),
+                lambda b, i: (b, jnp.maximum(i * ht - 1, 0), 0, 0),
+            ),
+            # the tile itself
+            pl.BlockSpec((1, ht, wp, lanes), lambda b, i: (b, i, 0, 0)),
+            # one row below the tile (clamped; zeroed at i == n_h - 1)
+            pl.BlockSpec(
+                (1, 1, wp, lanes),
+                lambda b, i: (b, jnp.minimum(i * ht + ht, n_h * ht - 1), 0, 0),
+            ),
+            pl.BlockSpec(
+                (3, w_mats.shape[1], n_out), lambda b, i: (0, 0, 0)
+            ),
+            pl.BlockSpec((1, n_out), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ht, wp, n_out), lambda b, i: (b, i, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, wp, n_out), x4.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x4.size * x4.dtype.itemsize * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x4, x4, x4, w_mats, bias_f)
+
+
+@functools.lru_cache(maxsize=None)
+def make_folded_conv3x3(
+    in_features: int,
+    features: int,
+    fold: int = 4,
+    in_perm: tuple | None = None,
+    h_tile: int | None = None,
+    interpret: bool = False,
+):
+    """Factory for a differentiable folded 3x3 SAME conv.
+
+    Returns ``f(x4, kernel, bias) -> y4`` with
+      x4: (B, H, W/fold, fold*in_features)  (lanes optionally permuted by
+          ``in_perm``: in_perm[actual_lane] = canonical slot-major index)
+      kernel: (3, 3, in_features, features)  — the UNfolded parameter
+      bias: (features,)
+      y4: (B, H, W/fold, fold*features)     — canonical slot-major lanes
+    """
+    f, ci, co = fold, in_features, features
+    lanes = f * ci
+    perm = (
+        np.arange(lanes, dtype=np.int64)
+        if in_perm is None
+        else np.asarray(in_perm, np.int64)
+    )
+    assert perm.shape == (lanes,)
+    inv_perm = np.argsort(perm)
+    prev_runs = tuple(_slot_runs(perm, ci, f - 1))
+    next_runs = tuple(_slot_runs(perm, ci, 0))
+    # weight row order must match the kernel's aug lanes:
+    # [prev (canonical t=0), mid (actual layout), next (canonical t=f+1)]
+    row_map = np.concatenate(
+        [np.arange(ci), ci + perm, (f + 1) * ci + np.arange(ci)]
+    )
+
+    def fwd_impl(x4, kernel, bias):
+        wm = _halo_matrices(kernel, f, x4.dtype)[:, row_map, :]
+        bias_f = jnp.tile(bias, f).reshape(1, f * co).astype(jnp.float32)
+        return _folded_conv_pallas(
+            x4, wm, bias_f,
+            fold=f, ci=ci, prev_runs=prev_runs, next_runs=next_runs,
+            h_tile=h_tile, interpret=interpret,
+        )
+
+    @jax.custom_vjp
+    def conv(x4, kernel, bias):
+        return fwd_impl(x4, kernel, bias)
+
+    def conv_fwd(x4, kernel, bias):
+        return fwd_impl(x4, kernel, bias), (x4, kernel)
+
+    def conv_bwd(res, g):
+        x4, kernel = res
+        # ---- dx: conv of g with the flipped, in/out-transposed kernel.
+        kb = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2))  # (3,3,Co,Ci)
+        wb = _halo_matrices(kb, f, g.dtype)  # (3, (f+2)*Co, f*Ci) canonical
+        # output lanes must come back in the ACTUAL layout: dx_act[j] =
+        # dx_canon[perm[j]] — a zero-cost column permutation of the weights.
+        wb = wb[:, :, perm]
+        zeros_ci = jnp.zeros((f * ci,), jnp.float32).reshape(1, f * ci)
+        dx = _folded_conv_pallas(
+            g, wb, zeros_ci,
+            fold=f, ci=co,
+            prev_runs=((((f - 1) * co), co),),
+            next_runs=((0, co),),
+            h_tile=h_tile, interpret=interpret,
+        )
+        # ---- dw: XLA large-K contractions (one per dy section).
+        gf = g.astype(jnp.float32)
+        xf = x4.astype(jnp.float32)
+        pc = jnp.concatenate(
+            [xf[:, :, :, a : a + n] for (a, n) in prev_runs], axis=-1
+        )
+        nc = jnp.concatenate(
+            [xf[:, :, :, a : a + n] for (a, n) in next_runs], axis=-1
+        )
+        zc = jnp.zeros_like(pc[:, :, :1])
+        pc = jnp.concatenate([zc, pc[:, :, :-1]], axis=2)
+        nc = jnp.concatenate([nc[:, :, 1:], zc], axis=2)
+
+        def shift_h(a, dy):
+            if dy == 0:
+                z = jnp.zeros_like(a[:, :1])
+                return jnp.concatenate([z, a[:, :-1]], axis=1)
+            if dy == 2:
+                z = jnp.zeros_like(a[:, :1])
+                return jnp.concatenate([a[:, 1:], z], axis=1)
+            return a
+
+        dkps = []
+        for dy in range(3):
+            mid = jnp.einsum("bhwp,bhwq->pq", shift_h(xf, dy), gf)
+            top = jnp.einsum("bhwp,bhwq->pq", shift_h(pc, dy), gf)
+            bot = jnp.einsum("bhwp,bhwq->pq", shift_h(nc, dy), gf)
+            dkps.append(
+                jnp.concatenate([top, mid[inv_perm], bot], axis=0)
+            )
+        dkp = jnp.stack(dkps)  # (3, (f+2)*ci, f*co) canonical rows
+        dw = _wgrad_from_halo(dkp, f, ci, co).astype(kernel.dtype)
+        db = gf.sum(axis=(0, 1, 2)).reshape(f, co).sum(axis=0)
+        return dx, dw, db.astype(jnp.float32)
+
+    conv.defvjp(conv_fwd, conv_bwd)
+    return conv

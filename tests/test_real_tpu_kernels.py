@@ -107,3 +107,35 @@ def test_pallas_preprocess_native(tpu_backend):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
     )
+
+
+@requires_real_tpu
+def test_folded_conv_native(tpu_backend):
+    """Native Mosaic compile of the folded halo conv (ops/pallas_conv.py)
+    at a production-like shape, vs the dense-expanded XLA formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.models.folded import _expand_kernel, w2d
+    from image_segmentation_tpu.ops.pallas_conv import make_folded_conv3x3
+
+    rng = np.random.default_rng(3)
+    bsz, h, w, ci, co, fold = 2, 128, 128, 32, 64, 4
+    x = jnp.asarray(rng.normal(size=(bsz, h, w, ci)).astype(np.float32),
+                    dtype=jnp.bfloat16)
+    kern = jnp.asarray(rng.normal(size=(3, 3, ci, co)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+
+    x4 = w2d(x, fold)
+    conv = make_folded_conv3x3(ci, co, fold, interpret=False)
+    out = jax.jit(conv)(x4, kern, bias)
+
+    wp = _expand_kernel(kern.astype(jnp.bfloat16), fold)
+    ref = jax.lax.conv_general_dilated(
+        x4, wp, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + jnp.tile(bias, fold).astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
