@@ -18,6 +18,7 @@ engineering estimate, kept fixed across rounds for comparability.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 A100_REFERENCE_IMGS_PER_SEC = 100.0  # estimated torch A100 LargeUNet@512 train
@@ -40,7 +41,12 @@ def main() -> None:
         # width-to-depth folding of the full-resolution level: numerically
         # equivalent to the standard model (shared checkpoints, see
         # tests/test_folded.py), faster on the small-channel convs.
-        model_args={"w2d_level0": True},
+        model_args={
+            "w2d_level0": True,
+            # A/B hook for the folded-conv implementation (dense/halo/pallas);
+            # the headline metric uses the committed default.
+            "w2d_impl": os.environ.get("IMGSEG_BENCH_W2D_IMPL", "dense"),
+        },
         data=DataConfig(
             dataset="synthetic",
             synthetic_length=batch,

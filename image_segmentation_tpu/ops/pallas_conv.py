@@ -107,32 +107,30 @@ def _slot_runs(perm: np.ndarray, ci: int, slot: int) -> list[tuple[int, int]]:
     return runs
 
 
-def _pick_h_tile(h: int, limit: int = 32) -> int:
+def _pick_h_tile(
+    h: int, wp: int, lanes: int, kdim: int, n_out: int, itemsize: int
+) -> int:
+    """Largest h_tile whose VMEM footprint stays under the ~16 MiB scoped
+    limit (with headroom).  Footprint model (measured 17.0 MiB at the shape
+    that OOMed with ht=32, wp=128, lanes=256, kdim=384, n_out=256):
+    double-buffered mid/out blocks + xv + xv_r/xv_l shifts + aug + f32 acc.
+    """
+    budget = 12 * 1024 * 1024
+    per_row = wp * itemsize * (
+        2 * lanes        # mid block, double-buffered
+        + 2 * n_out      # out block, double-buffered
+        + 3 * lanes      # xv + xv_r + xv_l
+        + kdim           # aug
+        + 2 * n_out      # f32 accumulator
+    )
     for t in (32, 16, 8, 4, 2, 1):
-        if t <= limit and h % t == 0:
+        if h % t == 0 and t * per_row <= budget:
             return t
     return 1
 
 
-def _conv_kernel_body(
-    top_ref,
-    mid_ref,
-    bot_ref,
-    w_ref,
-    bias_ref,
-    out_ref,
-    *,
-    h_tile: int,
-    wp: int,
-    lanes: int,
-    fold: int,
-    ci: int,
-    n_out: int,
-    prev_runs: Sequence[tuple[int, int]],
-    next_runs: Sequence[tuple[int, int]],
-    out_dtype: Any,
-):
-    ht = h_tile
+def _build_aug(top_ref, mid_ref, bot_ref, *, ht, wp, lanes, prev_runs, next_runs):
+    """(ht+2, wp, lanes + 2*ci) haloed slab built entirely in VMEM."""
     n_h = pl.num_programs(1)
     i = pl.program_id(1)
 
@@ -162,7 +160,32 @@ def _conv_kernel_body(
     nxt_c = jnp.concatenate(
         [xv_l[:, :, a : a + n] for (a, n) in next_runs], axis=-1
     )
-    aug = jnp.concatenate([prev, xv, nxt_c], axis=-1)  # (ht+2, wp, lanes+2ci)
+    return jnp.concatenate([prev, xv, nxt_c], axis=-1)
+
+
+def _conv_kernel_body(
+    top_ref,
+    mid_ref,
+    bot_ref,
+    w_ref,
+    bias_ref,
+    out_ref,
+    *,
+    h_tile: int,
+    wp: int,
+    lanes: int,
+    fold: int,
+    ci: int,
+    n_out: int,
+    prev_runs: Sequence[tuple[int, int]],
+    next_runs: Sequence[tuple[int, int]],
+    out_dtype: Any,
+):
+    ht = h_tile
+    aug = _build_aug(
+        top_ref, mid_ref, bot_ref,
+        ht=ht, wp=wp, lanes=lanes, prev_runs=prev_runs, next_runs=next_runs,
+    )
 
     kdim = lanes + 2 * ci
     acc = jnp.zeros((ht * wp, n_out), jnp.float32)
@@ -190,7 +213,9 @@ def _folded_conv_pallas(
     """Run the kernel: x4 (B, H, Wp, L) x w_mats (3, L+2ci, N) -> (B, H, Wp, N)."""
     b, h, wp, lanes = x4.shape
     n_out = w_mats.shape[-1]
-    ht = h_tile or _pick_h_tile(h)
+    ht = h_tile or _pick_h_tile(
+        h, wp, lanes, w_mats.shape[1], n_out, x4.dtype.itemsize
+    )
     assert h % ht == 0, (h, ht)
     grid = (b, h // ht)
 
@@ -242,6 +267,116 @@ def _folded_conv_pallas(
     )(x4, x4, x4, w_mats, bias_f)
 
 
+def _wgrad_kernel_body(
+    top_ref,
+    mid_ref,
+    bot_ref,
+    g_ref,
+    dkp_ref,
+    db_ref,
+    *,
+    h_tile: int,
+    wp: int,
+    lanes: int,
+    ci: int,
+    n_out: int,
+    prev_runs: Sequence[tuple[int, int]],
+    next_runs: Sequence[tuple[int, int]],
+):
+    """dkp[dy] = sum over tiles of aug_rows(dy)^T @ g_rows; db = sum g.
+
+    The dkp/db output blocks map every grid step to the same block, so
+    they live in VMEM for the whole grid and accumulate (the standard
+    matmul-K-loop revisiting pattern); zeroed at the first step.
+    """
+    ht = h_tile
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    aug = _build_aug(
+        top_ref, mid_ref, bot_ref,
+        ht=ht, wp=wp, lanes=lanes, prev_runs=prev_runs, next_runs=next_runs,
+    )
+    kdim = lanes + 2 * ci
+    g = g_ref[0].reshape(ht * wp, n_out)
+
+    @pl.when(jnp.logical_and(b == 0, i == 0))
+    def _():
+        dkp_ref[...] = jnp.zeros_like(dkp_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    for dy in range(3):
+        a = aug[dy : dy + ht].reshape(ht * wp, kdim)
+        contrib = jax.lax.dot_general(
+            a, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (kdim, n_out)
+        dkp_ref[dy] = dkp_ref[dy] + contrib
+    db_ref[0] = db_ref[0] + jnp.sum(g.astype(jnp.float32), axis=0)
+
+
+def _folded_wgrad_pallas(
+    x4: jax.Array,
+    g: jax.Array,
+    *,
+    ci: int,
+    prev_runs: tuple,
+    next_runs: tuple,
+    h_tile: int | None,
+    interpret: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """(dkp (3, lanes+2ci, N) f32 in KERNEL row order [prev|actual mid|next],
+    db (N,) f32) from one pass over x4 and g."""
+    b, h, wp, lanes = x4.shape
+    n_out = g.shape[-1]
+    kdim = lanes + 2 * ci
+    ht = h_tile or _pick_h_tile(h, wp, lanes, kdim, n_out, x4.dtype.itemsize)
+    assert h % ht == 0, (h, ht)
+    n_h = h // ht
+
+    kernel = functools.partial(
+        _wgrad_kernel_body,
+        h_tile=ht,
+        wp=wp,
+        lanes=lanes,
+        ci=ci,
+        n_out=n_out,
+        prev_runs=prev_runs,
+        next_runs=next_runs,
+    )
+    flops = 2 * b * h * wp * kdim * n_out * 3
+    dkp, db = pl.pallas_call(
+        kernel,
+        grid=(b, n_h),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, wp, lanes),
+                lambda b, i: (b, jnp.maximum(i * ht - 1, 0), 0, 0),
+            ),
+            pl.BlockSpec((1, ht, wp, lanes), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, wp, lanes),
+                lambda b, i: (b, jnp.minimum(i * ht + ht, n_h * ht - 1), 0, 0),
+            ),
+            pl.BlockSpec((1, ht, wp, n_out), lambda b, i: (b, i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, kdim, n_out), lambda b, i: (0, 0, 0)),
+            pl.BlockSpec((1, n_out), lambda b, i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, kdim, n_out), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_out), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(x4.size + g.size) * x4.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x4, x4, x4, g)
+    return dkp, db[0]
+
+
 @functools.lru_cache(maxsize=None)
 def make_folded_conv3x3(
     in_features: int,
@@ -268,7 +403,6 @@ def make_folded_conv3x3(
         else np.asarray(in_perm, np.int64)
     )
     assert perm.shape == (lanes,)
-    inv_perm = np.argsort(perm)
     prev_runs = tuple(_slot_runs(perm, ci, f - 1))
     next_runs = tuple(_slot_runs(perm, ci, 0))
     # weight row order must match the kernel's aug lanes:
@@ -276,6 +410,9 @@ def make_folded_conv3x3(
     row_map = np.concatenate(
         [np.arange(ci), ci + perm, (f + 1) * ci + np.arange(ci)]
     )
+    # adjoint reorder for the wgrad kernel's dkp rows (kernel -> canonical):
+    # dkp_canon[row_map[r]] = dkp_kernel[r]
+    inv_row_map = np.argsort(row_map)
 
     def fwd_impl(x4, kernel, bias):
         wm = _halo_matrices(kernel, f, x4.dtype)[:, row_map, :]
@@ -309,40 +446,19 @@ def make_folded_conv3x3(
             next_runs=((0, co),),
             h_tile=h_tile, interpret=interpret,
         )
-        # ---- dw: XLA large-K contractions (one per dy section).
-        gf = g.astype(jnp.float32)
-        xf = x4.astype(jnp.float32)
-        pc = jnp.concatenate(
-            [xf[:, :, :, a : a + n] for (a, n) in prev_runs], axis=-1
+        # ---- dw/db: one fused Pallas pass over x and g (the XLA einsum
+        # formulation materialized full-tensor shifted copies of x per dy
+        # — measured ~15 ms/step of pure HBM traffic at B16 512^2).
+        dkp_k, db_f = _folded_wgrad_pallas(
+            x4, g,
+            ci=ci, prev_runs=prev_runs, next_runs=next_runs,
+            h_tile=h_tile, interpret=interpret,
         )
-        nc = jnp.concatenate(
-            [xf[:, :, :, a : a + n] for (a, n) in next_runs], axis=-1
-        )
-        zc = jnp.zeros_like(pc[:, :, :1])
-        pc = jnp.concatenate([zc, pc[:, :, :-1]], axis=2)
-        nc = jnp.concatenate([nc[:, :, 1:], zc], axis=2)
-
-        def shift_h(a, dy):
-            if dy == 0:
-                z = jnp.zeros_like(a[:, :1])
-                return jnp.concatenate([z, a[:, :-1]], axis=1)
-            if dy == 2:
-                z = jnp.zeros_like(a[:, :1])
-                return jnp.concatenate([a[:, 1:], z], axis=1)
-            return a
-
-        dkps = []
-        for dy in range(3):
-            mid = jnp.einsum("bhwp,bhwq->pq", shift_h(xf, dy), gf)
-            top = jnp.einsum("bhwp,bhwq->pq", shift_h(pc, dy), gf)
-            bot = jnp.einsum("bhwp,bhwq->pq", shift_h(nc, dy), gf)
-            dkps.append(
-                jnp.concatenate([top, mid[inv_perm], bot], axis=0)
-            )
-        dkp = jnp.stack(dkps)  # (3, (f+2)*ci, f*co) canonical rows
+        # kernel rows [prev | ACTUAL mid | next] -> canonical (f+2)*ci rows
+        dkp = dkp_k[:, inv_row_map, :]
         dw = _wgrad_from_halo(dkp, f, ci, co).astype(kernel.dtype)
-        db = gf.sum(axis=(0, 1, 2)).reshape(f, co).sum(axis=0)
-        return dx, dw, db.astype(jnp.float32)
+        db = db_f.reshape(f, co).sum(axis=0)
+        return dx, dw, db
 
     conv.defvjp(conv_fwd, conv_bwd)
     return conv

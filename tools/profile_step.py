@@ -21,6 +21,7 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--logdir", default="/tmp/profile-step")
     ap.add_argument("--no-w2d", action="store_true")
+    ap.add_argument("--w2d-impl", default="dense")
     ap.add_argument("--model", default="large_unet")
     ap.add_argument("--geometry", default="gather")
     args = ap.parse_args()
@@ -35,7 +36,10 @@ def main():
         model=args.model,
         batch_size=args.batch,
         num_epochs=1,
-        model_args={} if args.no_w2d else {"w2d_level0": True},
+        model_args=(
+            {} if args.no_w2d
+            else {"w2d_level0": True, "w2d_impl": args.w2d_impl}
+        ),
         data=DataConfig(
             dataset="synthetic", synthetic_length=args.batch,
             image_size=args.size, augmentations_per_datapoint=4,
