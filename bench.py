@@ -43,9 +43,11 @@ def main() -> None:
         # tests/test_folded.py), faster on the small-channel convs.
         model_args={
             "w2d_level0": True,
-            # A/B hook for the folded-conv implementation (dense/halo/pallas);
-            # the headline metric uses the committed default.
-            "w2d_impl": os.environ.get("IMGSEG_BENCH_W2D_IMPL", "dense"),
+            # A/B hooks for the folded-conv implementation (dense/halo/pallas)
+            # and level-1 folding; the headline metric uses the committed
+            # defaults.
+            "w2d_impl": os.environ.get("IMGSEG_BENCH_W2D_IMPL", "pallas"),
+            "w2d_level1": os.environ.get("IMGSEG_BENCH_W2D_L1", "0") == "1",
         },
         data=DataConfig(
             dataset="synthetic",
