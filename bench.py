@@ -46,7 +46,7 @@ def main() -> None:
             # A/B hooks for the folded-conv implementation (dense/halo/pallas)
             # and level-1 folding; the headline metric uses the committed
             # defaults.
-            "w2d_impl": os.environ.get("IMGSEG_BENCH_W2D_IMPL", "pallas"),
+            "w2d_impl": os.environ.get("IMGSEG_BENCH_W2D_IMPL", "pallas_fused"),
             "w2d_level1": os.environ.get("IMGSEG_BENCH_W2D_L1", "0") == "1",
         },
         data=DataConfig(

@@ -48,8 +48,8 @@ class ClipUnet(nn.Module):
     # exact width-to-depth fast path for the full-resolution level
     # (models/folded.py; shared parameter tree, equivalence tested)
     w2d_level0: bool = False
-    # folded-conv implementation ("dense" / "halo" / "pallas"), see
-    # models/folded.FoldedConv
+    # folded-conv implementation ("dense" / "halo" / "pallas" /
+    # "pallas_fused"), see models/folded.FoldedConv[Block]
     w2d_impl: str = "dense"
 
     @nn.compact

@@ -127,15 +127,20 @@ class FoldedConv(nn.Module):
     # [A | B] instead of a per-slot interleave) at ZERO tensor cost — the
     # reindex happens on the (3,3,f*Ci,f*Co) kernel, not the activations.
     in_perm: Any = None
+    # Declare the parameters and return them instead of computing (used by
+    # the fused FoldedConvBlock path, which runs the conv itself).
+    expose_params: bool = False
 
     @nn.compact
-    def __call__(self, x4: jax.Array) -> jax.Array:
+    def __call__(self, x4: jax.Array) -> Any:
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (3, 3, self.in_features, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.expose_params:
+            return kernel, bias
         if self.impl == "pallas":
             from ..ops.pallas_conv import make_folded_conv3x3
 
@@ -197,9 +202,16 @@ class FoldedBatchNorm(nn.Module):
     momentum: float = BN_MOMENTUM
     epsilon: float = BN_EPS
     dtype: Any = jnp.bfloat16
+    # apply=False returns the resolved per-channel f32 affine (a, b) with
+    # y == x*a + b instead of applying it — the fused conv path folds the
+    # affine (+ ReLU) into the next Pallas conv's slab read.
+    apply: bool = True
 
     @nn.compact
-    def __call__(self, x4: jax.Array) -> jax.Array:
+    def __call__(self, x4: jax.Array = None, stats=None) -> Any:
+        """``stats`` (optional): precomputed per-channel f32 (mean, var) —
+        e.g. from the fused conv's s1/s2 epilogue — instead of reducing
+        ``x4``."""
         c, f = self.features, self.fold
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -212,12 +224,15 @@ class FoldedBatchNorm(nn.Module):
         if self.use_running_average:
             mean_c, var_c = ra_mean.value, ra_var.value
         else:
-            xf = x4.astype(jnp.float32)
-            m1 = jnp.mean(xf, axis=(0, 1, 2))            # (f*c,)
-            m2 = jnp.mean(xf * xf, axis=(0, 1, 2))
-            mean_c = m1.reshape(f, c).mean(axis=0)
-            mean2_c = m2.reshape(f, c).mean(axis=0)
-            var_c = jnp.maximum(0.0, mean2_c - mean_c * mean_c)
+            if stats is not None:
+                mean_c, var_c = stats
+            else:
+                xf = x4.astype(jnp.float32)
+                m1 = jnp.mean(xf, axis=(0, 1, 2))            # (f*c,)
+                m2 = jnp.mean(xf * xf, axis=(0, 1, 2))
+                mean_c = m1.reshape(f, c).mean(axis=0)
+                mean2_c = m2.reshape(f, c).mean(axis=0)
+                var_c = jnp.maximum(0.0, mean2_c - mean_c * mean_c)
             if not self.is_initializing():
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean_c
@@ -228,6 +243,8 @@ class FoldedBatchNorm(nn.Module):
         # y = (x - mean) * rsqrt(var+eps) * scale + bias  ==  x*a + b
         a = jax.lax.rsqrt(var_c + self.epsilon) * scale
         b = bias - mean_c * a
+        if not self.apply:
+            return a, b
         a_f = jnp.tile(a, f).astype(self.dtype)
         b_f = jnp.tile(b, f).astype(self.dtype)
         return x4.astype(self.dtype) * a_f + b_f
@@ -249,6 +266,8 @@ class FoldedConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x4: jax.Array, *, train: bool = False) -> jax.Array:
         f, feats = self.fold, self.features
+        if self.impl == "pallas_fused":
+            return self._fused_forward(x4, train)
 
         def bn(name, h4):
             return FoldedBatchNorm(
@@ -268,6 +287,74 @@ class FoldedConvBlock(nn.Module):
             feats, feats, f, self.dtype, impl=self.impl, name="conv2"
         )(h)
         return nn.relu(bn("bn2", h))
+
+    def _fused_forward(self, x4: jax.Array, train: bool) -> jax.Array:
+        """Fused Pallas path (same parameter tree as the standard path):
+
+        conv1 emits its output's batch statistics as a kernel epilogue
+        (no reduce pass); bn1-apply + ReLU are folded into conv2's VMEM
+        slab read (never materialized); conv2 emits bn2's statistics; the
+        final bn2-apply + ReLU is one XLA elementwise that fuses into the
+        consumer (pool / output conv).
+        """
+        from ..ops.pallas_conv import make_folded_conv_bn3x3
+
+        f, feats, cin = self.fold, self.features, self.in_features
+        interp = jax.default_backend() not in ("tpu", "axon")
+        perm_t = (
+            tuple(int(p) for p in self.in_perm)
+            if self.in_perm is not None
+            else None
+        )
+        k1, c1b = FoldedConv(
+            cin, feats, f, self.dtype, in_perm=self.in_perm,
+            expose_params=True, name="conv1",
+        )(x4)
+        k2, c2b = FoldedConv(
+            feats, feats, f, self.dtype, expose_params=True, name="conv2"
+        )(x4)
+
+        def bn_affine(name, stats):
+            return FoldedBatchNorm(
+                feats, f,
+                use_running_average=not train,
+                dtype=self.dtype, apply=False, name=name,
+            )(stats=stats)
+
+        x4 = x4.astype(self.dtype)
+        bsz, hh, wp, _ = x4.shape
+        n = bsz * hh * wp * f
+        if train:
+            conv1 = make_folded_conv_bn3x3(
+                cin, feats, f, in_perm=perm_t, pre=False, stats=True,
+                interpret=interp,
+            )
+            y1, s1, s2 = conv1(x4, k1, c1b)
+            mean1 = s1 / n
+            var1 = jnp.maximum(0.0, s2 / n - mean1 * mean1)
+            a1, b1 = bn_affine("bn1", (mean1, var1))
+            conv2 = make_folded_conv_bn3x3(
+                feats, feats, f, pre=True, stats=True, interpret=interp
+            )
+            y2, s21, s22 = conv2(y1, k2, c2b, a1, b1)
+            mean2 = s21 / n
+            var2 = jnp.maximum(0.0, s22 / n - mean2 * mean2)
+            a2, b2 = bn_affine("bn2", (mean2, var2))
+        else:
+            conv1 = make_folded_conv_bn3x3(
+                cin, feats, f, in_perm=perm_t, pre=False, stats=False,
+                interpret=interp,
+            )
+            y1 = conv1(x4, k1, c1b)
+            a1, b1 = bn_affine("bn1", None)
+            conv2 = make_folded_conv_bn3x3(
+                feats, feats, f, pre=True, stats=False, interpret=interp
+            )
+            y2 = conv2(y1, k2, c2b, a1, b1)
+            a2, b2 = bn_affine("bn2", None)
+        a2f = jnp.tile(a2, f).astype(self.dtype)
+        b2f = jnp.tile(b2, f).astype(self.dtype)
+        return nn.relu(y2 * a2f + b2f)
 
 
 def folded_max_pool_2x2(x4: jax.Array, features: int, fold: int = FOLD) -> jax.Array:

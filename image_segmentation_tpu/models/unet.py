@@ -43,8 +43,9 @@ class UNet(nn.Module):
     # w2d_level0 and at least 2 encoder levels.
     w2d_level1: bool = False
     # Folded-conv implementation: "dense" (XLA, expanded kernel), "halo"
-    # (XLA, materialized halo), or "pallas" (fused VMEM-halo kernel,
-    # ops/pallas_conv.py).
+    # (XLA, materialized halo), "pallas" (fused VMEM-halo kernel,
+    # ops/pallas_conv.py), or "pallas_fused" (additionally fuses BN stats
+    # + BN-apply/ReLU into the conv kernels).
     w2d_impl: str = "dense"
 
     @nn.compact

@@ -129,14 +129,33 @@ def _pick_h_tile(
     return 1
 
 
-def _build_aug(top_ref, mid_ref, bot_ref, *, ht, wp, lanes, prev_runs, next_runs):
-    """(ht+2, wp, lanes + 2*ci) haloed slab built entirely in VMEM."""
+def _build_aug(
+    top_ref, mid_ref, bot_ref, *, ht, wp, lanes, prev_runs, next_runs,
+    ab_ref=None,
+):
+    """(ht+2, wp, lanes + 2*ci) haloed slab built entirely in VMEM.
+
+    ``ab_ref`` (2, lanes): apply ``relu(x*a + b)`` to the RAW slab reads
+    BEFORE any zero insertion — SAME padding pads the *activated* tensor
+    with zeros, so inserted pad positions must stay 0, not relu(b).
+    """
     n_h = pl.num_programs(1)
     i = pl.program_id(1)
 
     mid = mid_ref[0]  # (ht, wp, lanes)
     top = top_ref[0]  # (1, wp, lanes)
     bot = bot_ref[0]
+    if ab_ref is not None:
+        # affine + relu in f32: Mosaic on this toolchain rejects bf16
+        # compares ("Target does not support this comparison")
+        a_p = ab_ref[0:1].reshape(1, 1, lanes).astype(jnp.float32)
+        b_p = ab_ref[1:2].reshape(1, 1, lanes).astype(jnp.float32)
+
+        def act(t):
+            tf = t.astype(jnp.float32)
+            return jnp.maximum(tf * a_p + b_p, 0.0).astype(t.dtype)
+
+        mid, top, bot = act(mid), act(top), act(bot)
     # Zero the dy halo rows at the image boundary (SAME padding).
     if n_h == 1:
         top = jnp.zeros_like(top)
@@ -164,13 +183,7 @@ def _build_aug(top_ref, mid_ref, bot_ref, *, ht, wp, lanes, prev_runs, next_runs
 
 
 def _conv_kernel_body(
-    top_ref,
-    mid_ref,
-    bot_ref,
-    w_ref,
-    bias_ref,
-    out_ref,
-    *,
+    *refs,
     h_tile: int,
     wp: int,
     lanes: int,
@@ -180,14 +193,45 @@ def _conv_kernel_body(
     prev_runs: Sequence[tuple[int, int]],
     next_runs: Sequence[tuple[int, int]],
     out_dtype: Any,
+    pre: bool = False,
+    post: bool = False,
+    stats: bool = False,
 ):
+    """Conv core with optional fusions:
+
+    - ``pre``: the slab is passed through ``relu(aug * a + b)`` before the
+      contraction (folds the preceding BatchNorm-apply + ReLU into the
+      conv's VMEM read; ``ab`` is a (2, kdim) per-aug-lane affine).
+    - ``post``: the f32 accumulator is passed through the ADJOINT of the
+      pre-op of the forward conv this kernel is the input-gradient of:
+      ``gu = acc * (x*a+b > 0); out = gu * a`` with per-output-lane
+      ``(2, n_out)`` affine and the original input tile ``x``; also
+      accumulates ``da = sum gu*x`` and ``dbp = sum gu`` grid-wide.
+    - ``stats``: accumulates per-lane ``s1 = sum y`` / ``s2 = sum y^2`` of
+      the CAST output grid-wide (the following BatchNorm's batch stats,
+      saving its full-tensor reduce pass).
+    """
+    it = iter(refs)
+    top_ref, mid_ref, bot_ref = next(it), next(it), next(it)
+    w_ref, bias_ref = next(it), next(it)
+    ab_pre_ref = next(it) if pre else None
+    x_ref = next(it) if post else None
+    ab_post_ref = next(it) if post else None
+    out_ref = next(it)
+    s1_ref = next(it) if stats else None
+    s2_ref = next(it) if stats else None
+    da_ref = next(it) if post else None
+    dbp_ref = next(it) if post else None
+
     ht = h_tile
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
     aug = _build_aug(
         top_ref, mid_ref, bot_ref,
         ht=ht, wp=wp, lanes=lanes, prev_runs=prev_runs, next_runs=next_runs,
+        ab_ref=ab_pre_ref,
     )
-
     kdim = lanes + 2 * ci
+
     acc = jnp.zeros((ht * wp, n_out), jnp.float32)
     for dy in range(3):
         a = aug[dy : dy + ht].reshape(ht * wp, kdim)
@@ -195,7 +239,34 @@ def _conv_kernel_body(
             a, w_ref[dy], preferred_element_type=jnp.float32
         )
     acc = acc + bias_ref[0].astype(jnp.float32)
-    out_ref[0] = acc.reshape(ht, wp, n_out).astype(out_dtype)
+
+    if post:
+        x = x_ref[0].reshape(ht * wp, n_out).astype(jnp.float32)
+        a_q = ab_post_ref[0:1].reshape(1, n_out).astype(jnp.float32)
+        b_q = ab_post_ref[1:2].reshape(1, n_out).astype(jnp.float32)
+        mask = (x * a_q + b_q) > 0.0
+        gu = jnp.where(mask, acc, 0.0)
+        out_ref[0] = (gu * a_q).reshape(ht, wp, n_out).astype(out_dtype)
+
+        @pl.when(first)
+        def _():
+            da_ref[...] = jnp.zeros_like(da_ref)
+            dbp_ref[...] = jnp.zeros_like(dbp_ref)
+
+        da_ref[...] = da_ref[...] + jnp.sum(gu * x, axis=0, keepdims=True)
+        dbp_ref[...] = dbp_ref[...] + jnp.sum(gu, axis=0, keepdims=True)
+    else:
+        y = acc.reshape(ht, wp, n_out).astype(out_dtype)
+        out_ref[0] = y
+        if stats:
+            @pl.when(first)
+            def _():
+                s1_ref[...] = jnp.zeros_like(s1_ref)
+                s2_ref[...] = jnp.zeros_like(s2_ref)
+
+            yf = y.astype(jnp.float32).reshape(ht * wp, n_out)
+            s1_ref[...] = s1_ref[...] + jnp.sum(yf, axis=0, keepdims=True)
+            s2_ref[...] = s2_ref[...] + jnp.sum(yf * yf, axis=0, keepdims=True)
 
 
 def _folded_conv_pallas(
@@ -209,12 +280,24 @@ def _folded_conv_pallas(
     next_runs: tuple,
     h_tile: int | None,
     interpret: bool,
-) -> jax.Array:
-    """Run the kernel: x4 (B, H, Wp, L) x w_mats (3, L+2ci, N) -> (B, H, Wp, N)."""
+    ab_pre: jax.Array | None = None,
+    x_post: jax.Array | None = None,
+    ab_post: jax.Array | None = None,
+    stats: bool = False,
+):
+    """Run the kernel: x4 (B, H, Wp, L) x w_mats (3, L+2ci, N) -> (B, H, Wp, N).
+
+    With ``stats``: returns (y, s1 (N,), s2 (N,)) f32 output sums.
+    With ``x_post``/``ab_post``: returns (y, da (N,), dbp (N,)) — see
+    :func:`_conv_kernel_body`.
+    """
+    pre = ab_pre is not None
+    post = x_post is not None
     b, h, wp, lanes = x4.shape
     n_out = w_mats.shape[-1]
+    extra = n_out if post else 0
     ht = h_tile or _pick_h_tile(
-        h, wp, lanes, w_mats.shape[1], n_out, x4.dtype.itemsize
+        h, wp, lanes, w_mats.shape[1], n_out + extra, x4.dtype.itemsize
     )
     assert h % ht == 0, (h, ht)
     grid = (b, h // ht)
@@ -230,51 +313,65 @@ def _folded_conv_pallas(
         prev_runs=prev_runs,
         next_runs=next_runs,
         out_dtype=x4.dtype,
+        pre=pre,
+        post=post,
+        stats=stats,
     )
     flops = 2 * b * h * wp * (lanes + 2 * ci) * n_out * 3
     n_h = h // ht
-    return pl.pallas_call(
+    in_specs = [
+        # one row above the tile (clamped; zeroed in-kernel at i == 0)
+        pl.BlockSpec(
+            (1, 1, wp, lanes),
+            lambda b, i: (b, jnp.maximum(i * ht - 1, 0), 0, 0),
+        ),
+        # the tile itself
+        pl.BlockSpec((1, ht, wp, lanes), lambda b, i: (b, i, 0, 0)),
+        # one row below the tile (clamped; zeroed at i == n_h - 1)
+        pl.BlockSpec(
+            (1, 1, wp, lanes),
+            lambda b, i: (b, jnp.minimum(i * ht + ht, n_h * ht - 1), 0, 0),
+        ),
+        pl.BlockSpec((3, w_mats.shape[1], n_out), lambda b, i: (0, 0, 0)),
+        pl.BlockSpec((1, n_out), lambda b, i: (0, 0)),
+    ]
+    args = [x4, x4, x4, w_mats, bias_f]
+    if pre:
+        in_specs.append(pl.BlockSpec((2, lanes), lambda b, i: (0, 0)))
+        args.append(ab_pre)
+    if post:
+        in_specs.append(pl.BlockSpec((1, ht, wp, n_out), lambda b, i: (b, i, 0, 0)))
+        in_specs.append(pl.BlockSpec((2, n_out), lambda b, i: (0, 0)))
+        args.extend([x_post, ab_post])
+
+    out_specs = [pl.BlockSpec((1, ht, wp, n_out), lambda b, i: (b, i, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((b, h, wp, n_out), x4.dtype)]
+    n_acc = (2 if stats else 0) + (2 if post else 0)
+    for _ in range(n_acc):
+        out_specs.append(pl.BlockSpec((1, n_out), lambda b, i: (0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((1, n_out), jnp.float32))
+
+    res = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            # one row above the tile (clamped; zeroed in-kernel at i == 0)
-            pl.BlockSpec(
-                (1, 1, wp, lanes),
-                lambda b, i: (b, jnp.maximum(i * ht - 1, 0), 0, 0),
-            ),
-            # the tile itself
-            pl.BlockSpec((1, ht, wp, lanes), lambda b, i: (b, i, 0, 0)),
-            # one row below the tile (clamped; zeroed at i == n_h - 1)
-            pl.BlockSpec(
-                (1, 1, wp, lanes),
-                lambda b, i: (b, jnp.minimum(i * ht + ht, n_h * ht - 1), 0, 0),
-            ),
-            pl.BlockSpec(
-                (3, w_mats.shape[1], n_out), lambda b, i: (0, 0, 0)
-            ),
-            pl.BlockSpec((1, n_out), lambda b, i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, ht, wp, n_out), lambda b, i: (b, i, 0, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, wp, n_out), x4.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs if n_acc else out_specs[0],
+        out_shape=out_shape if n_acc else out_shape[0],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=x4.size * x4.dtype.itemsize * 2,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x4, x4, x4, w_mats, bias_f)
+    )(*args)
+    if not n_acc:
+        return res
+    y, v1, v2 = res
+    return y, v1[0], v2[0]
 
 
 def _wgrad_kernel_body(
-    top_ref,
-    mid_ref,
-    bot_ref,
-    g_ref,
-    dkp_ref,
-    db_ref,
-    *,
+    *refs,
     h_tile: int,
     wp: int,
     lanes: int,
@@ -282,19 +379,30 @@ def _wgrad_kernel_body(
     n_out: int,
     prev_runs: Sequence[tuple[int, int]],
     next_runs: Sequence[tuple[int, int]],
+    pre: bool = False,
 ):
     """dkp[dy] = sum over tiles of aug_rows(dy)^T @ g_rows; db = sum g.
 
     The dkp/db output blocks map every grid step to the same block, so
     they live in VMEM for the whole grid and accumulate (the standard
     matmul-K-loop revisiting pattern); zeroed at the first step.
+
+    ``pre``: the slab is activated (``relu(aug*a + b)``) before the
+    contraction, matching the fused forward.
     """
+    it = iter(refs)
+    top_ref, mid_ref, bot_ref, g_ref = (
+        next(it), next(it), next(it), next(it)
+    )
+    ab_ref = next(it) if pre else None
+    dkp_ref, db_ref = next(it), next(it)
     ht = h_tile
     b = pl.program_id(0)
     i = pl.program_id(1)
     aug = _build_aug(
         top_ref, mid_ref, bot_ref,
         ht=ht, wp=wp, lanes=lanes, prev_runs=prev_runs, next_runs=next_runs,
+        ab_ref=ab_ref,
     )
     kdim = lanes + 2 * ci
     g = g_ref[0].reshape(ht * wp, n_out)
@@ -323,9 +431,11 @@ def _folded_wgrad_pallas(
     next_runs: tuple,
     h_tile: int | None,
     interpret: bool,
+    ab_pre: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """(dkp (3, lanes+2ci, N) f32 in KERNEL row order [prev|actual mid|next],
     db (N,) f32) from one pass over x4 and g."""
+    pre = ab_pre is not None
     b, h, wp, lanes = x4.shape
     n_out = g.shape[-1]
     kdim = lanes + 2 * ci
@@ -342,23 +452,29 @@ def _folded_wgrad_pallas(
         n_out=n_out,
         prev_runs=prev_runs,
         next_runs=next_runs,
+        pre=pre,
     )
     flops = 2 * b * h * wp * kdim * n_out * 3
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, wp, lanes),
+            lambda b, i: (b, jnp.maximum(i * ht - 1, 0), 0, 0),
+        ),
+        pl.BlockSpec((1, ht, wp, lanes), lambda b, i: (b, i, 0, 0)),
+        pl.BlockSpec(
+            (1, 1, wp, lanes),
+            lambda b, i: (b, jnp.minimum(i * ht + ht, n_h * ht - 1), 0, 0),
+        ),
+        pl.BlockSpec((1, ht, wp, n_out), lambda b, i: (b, i, 0, 0)),
+    ]
+    args = [x4, x4, x4, g]
+    if pre:
+        in_specs.append(pl.BlockSpec((2, lanes), lambda b, i: (0, 0)))
+        args.append(ab_pre)
     dkp, db = pl.pallas_call(
         kernel,
         grid=(b, n_h),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, wp, lanes),
-                lambda b, i: (b, jnp.maximum(i * ht - 1, 0), 0, 0),
-            ),
-            pl.BlockSpec((1, ht, wp, lanes), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec(
-                (1, 1, wp, lanes),
-                lambda b, i: (b, jnp.minimum(i * ht + ht, n_h * ht - 1), 0, 0),
-            ),
-            pl.BlockSpec((1, ht, wp, n_out), lambda b, i: (b, i, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((3, kdim, n_out), lambda b, i: (0, 0, 0)),
             pl.BlockSpec((1, n_out), lambda b, i: (0, 0)),
@@ -373,7 +489,7 @@ def _folded_wgrad_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x4, x4, x4, g)
+    )(*args)
     return dkp, db[0]
 
 
@@ -462,3 +578,152 @@ def make_folded_conv3x3(
 
     conv.defvjp(conv_fwd, conv_bwd)
     return conv
+
+
+@functools.lru_cache(maxsize=None)
+def make_folded_conv_bn3x3(
+    in_features: int,
+    features: int,
+    fold: int = 4,
+    in_perm: tuple | None = None,
+    pre: bool = False,
+    stats: bool = False,
+    h_tile: int | None = None,
+    interpret: bool = False,
+):
+    """Fused folded conv: optional BatchNorm-apply + ReLU folded into the
+    slab read ("pre"), optional batch-statistic epilogue ("stats").
+
+    Returned function (argument/return structure depends on the flags):
+
+      ``f(x4, kernel, bias[, a, b])`` -> ``y`` or ``(y, s1, s2)``
+
+      - ``a``, ``b`` (with ``pre``): per-INPUT-channel f32 affine; the
+        kernel computes ``conv(relu(x * a + b))`` — i.e. the preceding
+        BatchNorm's resolved scale/shift + ReLU, never materialized.
+      - ``s1``, ``s2`` (with ``stats``): per-OUTPUT-channel f32 sums of the
+        conv output and its square (the counts are static), i.e. the next
+        BatchNorm's batch statistics without a full-tensor reduce pass.
+
+    Fully differentiable: dx applies the pre-op adjoint in-kernel (mask
+    recomputed from x; da/db accumulated grid-wide), dw/db contract the
+    re-activated slab, and stats cotangents fold into the output cotangent
+    as one fused elementwise.
+
+    Reference parity: conv == reference ConvBlock conv, BN semantics ==
+    torch.nn.BatchNorm2d batch stats (processing_blocks.py:15-35); the
+    fusion only moves where the same math happens.
+    """
+    f, ci, co = fold, in_features, features
+    lanes = f * ci
+    perm = (
+        np.arange(lanes, dtype=np.int64)
+        if in_perm is None
+        else np.asarray(in_perm, np.int64)
+    )
+    assert perm.shape == (lanes,)
+    prev_runs = tuple(_slot_runs(perm, ci, f - 1))
+    next_runs = tuple(_slot_runs(perm, ci, 0))
+    row_map = np.concatenate(
+        [np.arange(ci), ci + perm, (f + 1) * ci + np.arange(ci)]
+    )
+    inv_row_map = np.argsort(row_map)
+    # channel of each ACTUAL lane of x4, and of each aug lane
+    chan_act = perm % ci
+    # fold per-actual-lane accumulations back to per-channel: (lanes, ci)
+    lane2chan = np.zeros((lanes, ci), np.float32)
+    lane2chan[np.arange(lanes), chan_act] = 1.0
+    lane2chan_j = jnp.asarray(lane2chan)
+    chan_act_j = jnp.asarray(chan_act)
+
+    def _ab_pre(a, b, dtype):
+        # per ACTUAL lane of x4 (the kernels activate the raw slab reads)
+        return jnp.stack([a[chan_act_j], b[chan_act_j]]).astype(dtype)
+
+    def fwd_impl(x4, kernel, bias, a, b):
+        wm = _halo_matrices(kernel, f, x4.dtype)[:, row_map, :]
+        bias_f = jnp.tile(bias, f).reshape(1, f * co).astype(jnp.float32)
+        ab = _ab_pre(a, b, x4.dtype) if pre else None
+        res = _folded_conv_pallas(
+            x4, wm, bias_f,
+            fold=f, ci=ci, prev_runs=prev_runs, next_runs=next_runs,
+            h_tile=h_tile, interpret=interpret,
+            ab_pre=ab, stats=stats,
+        )
+        if not stats:
+            return res
+        y, s1l, s2l = res
+        return y, s1l.reshape(f, co).sum(0), s2l.reshape(f, co).sum(0)
+
+    def conv_bwd(res, ct):
+        x4, kernel, a, b, y = res
+        if stats:
+            gy, gs1, gs2 = ct
+            gyf = gy.astype(jnp.float32)
+            ge = (
+                gyf + jnp.tile(gs1, f) + 2.0 * y.astype(jnp.float32) * jnp.tile(gs2, f)
+            ).astype(gy.dtype)
+        else:
+            ge = ct
+        # ---- dx (+ da/db of the pre-op affine)
+        kb = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2))
+        wb = _halo_matrices(kb, f, ge.dtype)[:, :, perm]
+        zeros_b = jnp.zeros((1, f * ci), jnp.float32)
+        if pre:
+            ab_post = jnp.stack([a[chan_act_j], b[chan_act_j]]).astype(x4.dtype)
+            dx, da_l, dbp_l = _folded_conv_pallas(
+                ge, wb, zeros_b,
+                fold=f, ci=co,
+                prev_runs=((((f - 1) * co), co),),
+                next_runs=((0, co),),
+                h_tile=h_tile, interpret=interpret,
+                x_post=x4, ab_post=ab_post,
+            )
+            da = da_l @ lane2chan_j
+            dbp = dbp_l @ lane2chan_j
+        else:
+            dx = _folded_conv_pallas(
+                ge, wb, zeros_b,
+                fold=f, ci=co,
+                prev_runs=((((f - 1) * co), co),),
+                next_runs=((0, co),),
+                h_tile=h_tile, interpret=interpret,
+            )
+        # ---- dw/db on the (re-activated) slab
+        ab = _ab_pre(a, b, x4.dtype) if pre else None
+        dkp_k, db_f = _folded_wgrad_pallas(
+            x4, ge,
+            ci=ci, prev_runs=prev_runs, next_runs=next_runs,
+            h_tile=h_tile, interpret=interpret, ab_pre=ab,
+        )
+        dkp = dkp_k[:, inv_row_map, :]
+        dw = _wgrad_from_halo(dkp, f, ci, co).astype(kernel.dtype)
+        db = db_f.reshape(f, co).sum(axis=0)
+        if pre:
+            return dx, dw, db, da, dbp
+        return dx, dw, db
+
+    if pre:
+        @jax.custom_vjp
+        def conv(x4, kernel, bias, a, b):
+            return fwd_impl(x4, kernel, bias, a, b)
+
+        def conv_fwd(x4, kernel, bias, a, b):
+            out = fwd_impl(x4, kernel, bias, a, b)
+            y = out[0] if stats else out
+            return out, (x4, kernel, a, b, y if stats else None)
+
+        conv.defvjp(conv_fwd, conv_bwd)
+        return conv
+
+    @jax.custom_vjp
+    def conv_nopre(x4, kernel, bias):
+        return fwd_impl(x4, kernel, bias, None, None)
+
+    def conv_nopre_fwd(x4, kernel, bias):
+        out = fwd_impl(x4, kernel, bias, None, None)
+        y = out[0] if stats else out
+        return out, (x4, kernel, None, None, y if stats else None)
+
+    conv_nopre.defvjp(conv_nopre_fwd, conv_bwd)
+    return conv_nopre

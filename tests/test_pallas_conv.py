@@ -86,3 +86,93 @@ def test_folded_conv_module_pallas_impl():
     pal = folded.FoldedConv(8, 16, dtype=jnp.float32, impl="pallas")
     out = pal.apply(variables, x4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+class TestFoldedConvBlockFused:
+    """FoldedConvBlock(impl='pallas_fused') — stats epilogue + pre-op fusion
+    — matches the standard ConvBlock under one parameter tree."""
+
+    def _mk(self, seed=11):
+        from image_segmentation_tpu.models.blocks import ConvBlock
+
+        key = jax.random.PRNGKey(seed)
+        x = jax.random.normal(key, (2, 16, 16, 8), jnp.float32)
+        std = ConvBlock(16, dtype=jnp.float32)
+        variables = std.init(KEY, x, train=False)
+        return std, x, variables
+
+    def test_train_values_and_batch_stats(self):
+        std, x, variables = self._mk()
+        ref, m_std = std.apply(variables, x, train=True, mutable=["batch_stats"])
+        fused = folded.FoldedConvBlock(8, 16, dtype=jnp.float32, impl="pallas_fused")
+        out4, m_f = fused.apply(
+            variables, w2d(x), train=True, mutable=["batch_stats"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(d2w(out4, 16)), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+        for a, b in zip(
+            jax.tree.leaves(m_std["batch_stats"]),
+            jax.tree.leaves(m_f["batch_stats"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+            )
+
+    def test_eval_values(self):
+        std, x, variables = self._mk()
+        ref = std.apply(variables, x, train=False)
+        fused = folded.FoldedConvBlock(8, 16, dtype=jnp.float32, impl="pallas_fused")
+        out4 = fused.apply(variables, w2d(x), train=False)
+        np.testing.assert_allclose(
+            np.asarray(d2w(out4, 16)), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+    def test_train_gradients_match_dense_impl(self):
+        _, x, variables = self._mk()
+        x4 = w2d(x)
+        g = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 4, 64), jnp.float32)
+
+        def loss(params, impl):
+            m = folded.FoldedConvBlock(8, 16, dtype=jnp.float32, impl=impl)
+            out, _ = m.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x4, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out * g)
+
+        gd = jax.grad(lambda p: loss(p, "dense"))(variables["params"])
+        gf = jax.grad(lambda p: loss(p, "pallas_fused"))(variables["params"])
+        flat_d = jax.tree_util.tree_leaves_with_path(gd)
+        flat_f = dict(
+            (jax.tree_util.keystr(k), v)
+            for k, v in jax.tree_util.tree_leaves_with_path(gf)
+        )
+        for k, vd in flat_d:
+            vf = flat_f[jax.tree_util.keystr(k)]
+            np.testing.assert_allclose(
+                np.asarray(vd), np.asarray(vf), rtol=5e-4, atol=5e-4,
+                err_msg=jax.tree_util.keystr(k),
+            )
+
+    def test_train_values_with_concat_perm(self):
+        """dec-style block: plain concat layout absorbed via in_perm."""
+        key = jax.random.PRNGKey(4)
+        x = jax.random.normal(key, (2, 8, 16, 16), jnp.float32)
+        from image_segmentation_tpu.models.blocks import ConvBlock
+
+        std = ConvBlock(8, dtype=jnp.float32)
+        variables = std.init(KEY, x, train=False)
+        ref, _ = std.apply(variables, x, train=True, mutable=["batch_stats"])
+
+        perm = folded.concat_perm(8, 8, 4)
+        x4c = w2d(x)[..., np.asarray(perm)]  # actual[j] = canonical[perm[j]]
+        fused = folded.FoldedConvBlock(
+            16, 8, dtype=jnp.float32, in_perm=perm, impl="pallas_fused"
+        )
+        out4, _ = fused.apply(
+            variables, x4c, train=True, mutable=["batch_stats"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(d2w(out4, 8)), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
