@@ -32,7 +32,7 @@ def main() -> None:
     from image_segmentation_tpu.config import DataConfig, TrainConfig
     from image_segmentation_tpu.engine.train import Trainer
 
-    batch = 16
+    batch = int(os.environ.get("IMGSEG_BENCH_BATCH", "16"))
     size = 512
     cfg = TrainConfig(
         model="large_unet",

@@ -64,11 +64,9 @@ class ClipUnet(nn.Module):
         use_fold = self.w2d_level0 and x.shape[2] % (2 * folded.FOLD) == 0
         if use_fold:
             b, hh, ww, cin = x.shape
-            x5 = x.reshape(b, hh, ww // folded.FOLD, folded.FOLD, cin)
-            stem5 = nn.Conv(
-                32, (1, 1), padding="VALID", dtype=self.dtype, name="input"
-            )(x5)
-            stem4 = stem5.reshape(b, hh, ww // folded.FOLD, folded.FOLD * 32)
+            stem4 = folded.Folded1x1(
+                cin, 32, folded.FOLD, self.dtype, name="input"
+            )(x.reshape(b, hh, ww // folded.FOLD, folded.FOLD * cin))
             h4 = folded.FoldedConvBlockDownsample(
                 32, 64, folded.FOLD, self.dtype, impl=self.w2d_impl,
                 name="enc1"
@@ -100,11 +98,12 @@ class ClipUnet(nn.Module):
                 64, 32, folded.FOLD, self.dtype, impl=self.w2d_impl,
                 name="dec4"
             )(h, stem4, train=train)
-            out5 = nn.Conv(
-                self.out_channels, (1, 1), padding="VALID", dtype=self.dtype,
-                name="out",
-            )(h4.reshape(b, hh, ww // folded.FOLD, folded.FOLD, 32))
-            return out5.reshape(b, hh, ww, self.out_channels).astype(jnp.float32)
+            out4 = folded.Folded1x1(
+                32, self.out_channels, folded.FOLD, self.dtype, name="out"
+            )(h4)
+            return folded.d2w(out4, self.out_channels, folded.FOLD).astype(
+                jnp.float32
+            )
         h = ConvBlockUpsampleSkip(32, dtype=self.dtype, name="dec4")(h, stem, train=train)
         out = nn.Conv(
             self.out_channels, (1, 1), padding="VALID", dtype=self.dtype, name="out"

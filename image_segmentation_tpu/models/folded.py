@@ -178,6 +178,35 @@ class FoldedConv(nn.Module):
         return out + jnp.tile(bias.astype(self.dtype), self.fold)
 
 
+class Folded1x1(nn.Module):
+    """1x1 conv on a width-folded tensor as ONE matmul with a
+    block-diagonal (kron) weight; param tree identical to
+    ``nn.Conv(features, (1, 1))``.
+
+    Replaces the 5-D-view conv (``reshape -> nn.Conv -> reshape``), whose
+    XLA lowering materializes two full-size layout copies per direction
+    (XProf: ~0.9 ms each at B16 512^2 on the stem/out convs)."""
+
+    in_features: int
+    features: int
+    fold: int = FOLD
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x4: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel[0, 0].astype(self.dtype)
+        wbd = jnp.kron(jnp.eye(self.fold, dtype=self.dtype), k)
+        return x4.astype(self.dtype) @ wbd + jnp.tile(
+            bias, self.fold
+        ).astype(self.dtype)
+
+
 class FoldedBatchNorm(nn.Module):
     """BatchNorm over a width-folded tensor with NO 5-D reshape.
 

@@ -94,12 +94,10 @@ class UNet(nn.Module):
         b, hh, ww, cin = x.shape
         stem_c = self.stem_features
 
-        # stem 1x1 conv on the folded 5-D view (same "input" param tree)
-        x5 = x.reshape(b, hh, ww // f, f, cin)
-        stem5 = nn.Conv(
-            stem_c, (1, 1), padding="VALID", dtype=self.dtype, name="input"
-        )(x5)
-        stem4 = stem5.reshape(b, hh, ww // f, f * stem_c)
+        # stem 1x1 conv directly on the folded layout (same "input" tree)
+        stem4 = folded.Folded1x1(
+            cin, stem_c, f, self.dtype, name="input"
+        )(x.reshape(b, hh, ww // f, f * cin))
 
         # enc1 folded; deeper (wide-channel) levels run unfolded.
         # NOTE: the folded pool halves the fold factor (models/folded.py),
@@ -159,10 +157,10 @@ class UNet(nn.Module):
             name=f"dec{len(dec_feats)}"
         )(h, stem4, train=train)
 
-        out5 = nn.Conv(
-            self.out_channels, (1, 1), padding="VALID", dtype=self.dtype, name="out"
-        )(h4.reshape(b, hh, ww // f, f, stem_c))
-        return out5.reshape(b, hh, ww, self.out_channels).astype(jnp.float32)
+        out4 = folded.Folded1x1(
+            stem_c, self.out_channels, f, self.dtype, name="out"
+        )(h4)
+        return folded.d2w(out4, self.out_channels, f).astype(jnp.float32)
 
 
 class LargeUNet(UNet):
