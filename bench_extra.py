@@ -89,7 +89,8 @@ def bench_sweep():
     test = synthetic_dataset(n_test, size, seed=7)
     ev = Evaluator(
         trainer.model,
-        {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats},
+        {"params": trainer.state["params"],
+         "batch_stats": trainer.state["batch_stats"]},
         test,
         batch_size=batch,
     )

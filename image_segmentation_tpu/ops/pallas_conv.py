@@ -628,17 +628,19 @@ def make_folded_conv_bn3x3(
         [np.arange(ci), ci + perm, (f + 1) * ci + np.arange(ci)]
     )
     inv_row_map = np.argsort(row_map)
-    # channel of each ACTUAL lane of x4, and of each aug lane
+    # channel of each ACTUAL lane of x4, and of each aug lane.
+    # NB: keep these as NUMPY in the closure — the factory is lru_cached,
+    # and a jnp constant created during the first caller's trace is a
+    # TRACER that leaks into every later trace reusing the cached closure
+    # (UnexpectedTracerError in the Evaluator's per-sweep jits).
     chan_act = perm % ci
     # fold per-actual-lane accumulations back to per-channel: (lanes, ci)
     lane2chan = np.zeros((lanes, ci), np.float32)
     lane2chan[np.arange(lanes), chan_act] = 1.0
-    lane2chan_j = jnp.asarray(lane2chan)
-    chan_act_j = jnp.asarray(chan_act)
 
     def _ab_pre(a, b, dtype):
         # per ACTUAL lane of x4 (the kernels activate the raw slab reads)
-        return jnp.stack([a[chan_act_j], b[chan_act_j]]).astype(dtype)
+        return jnp.stack([a[chan_act], b[chan_act]]).astype(dtype)
 
     def fwd_impl(x4, kernel, bias, a, b):
         wm = _halo_matrices(kernel, f, x4.dtype)[:, row_map, :]
@@ -670,7 +672,7 @@ def make_folded_conv_bn3x3(
         wb = _halo_matrices(kb, f, ge.dtype)[:, :, perm]
         zeros_b = jnp.zeros((1, f * ci), jnp.float32)
         if pre:
-            ab_post = jnp.stack([a[chan_act_j], b[chan_act_j]]).astype(x4.dtype)
+            ab_post = jnp.stack([a[chan_act], b[chan_act]]).astype(x4.dtype)
             dx, da_l, dbp_l = _folded_conv_pallas(
                 ge, wb, zeros_b,
                 fold=f, ci=co,
@@ -679,8 +681,8 @@ def make_folded_conv_bn3x3(
                 h_tile=h_tile, interpret=interpret,
                 x_post=x4, ab_post=ab_post,
             )
-            da = da_l @ lane2chan_j
-            dbp = dbp_l @ lane2chan_j
+            da = da_l @ lane2chan
+            dbp = dbp_l @ lane2chan
         else:
             dx = _folded_conv_pallas(
                 ge, wb, zeros_b,

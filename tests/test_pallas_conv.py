@@ -176,3 +176,28 @@ class TestFoldedConvBlockFused:
         np.testing.assert_allclose(
             np.asarray(d2w(out4, 8)), np.asarray(ref), rtol=2e-4, atol=2e-4
         )
+
+
+def test_fused_factory_cold_cache_inside_jit_no_leak():
+    """The lru_cached factory's first call may happen INSIDE a jit trace
+    (the Evaluator jits one function per sweep point); constants it closes
+    over must not be trace-bound or the SECOND jit raises
+    UnexpectedTracerError."""
+    from image_segmentation_tpu.ops.pallas_conv import make_folded_conv_bn3x3
+
+    ci, co, f = 12, 8, 4  # unique config -> cold factory cache
+    x4 = jax.random.normal(KEY, (1, 8, 8, f * ci), jnp.float32)
+    kern = jax.random.normal(KEY, (3, 3, ci, co), jnp.float32)
+    bias = jnp.zeros((co,))
+    a = jnp.ones((ci,))
+    b = jnp.zeros((ci,))
+
+    def call(x4_, k_, b_):
+        conv = make_folded_conv_bn3x3(
+            ci, co, f, pre=True, stats=True, interpret=True
+        )
+        return conv(x4_, k_, b_, a, b)[0]
+
+    y1 = jax.jit(call)(x4, kern, bias)
+    y2 = jax.jit(lambda *t: call(*t) * 1.0)(x4, kern, bias)  # second trace
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6, atol=1e-6)
