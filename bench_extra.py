@@ -94,10 +94,21 @@ def bench_sweep():
         test,
         batch_size=batch,
     )
+    from image_segmentation_tpu.data import perturbations as pert
+
     t0 = time.perf_counter()
-    ev.robustness_evaluation("/tmp/bench_robustness.csv")
+    n_rows = 0
+    for name, info in pert.INT_SWEEPS.items():
+        tf0 = time.perf_counter()
+        for param in info["params"]:
+            ev._run_sweep_point("int", name, param)
+            n_rows += 1
+        print(
+            f"# {name}: {time.perf_counter() - tf0:.1f}s "
+            f"({len(info['params'])} points)",
+            file=sys.stderr, flush=True,
+        )
     dt = time.perf_counter() - t0
-    n_rows = sum(1 for _ in open("/tmp/bench_robustness.csv")) - 1
     print(json.dumps({
         "metric": "robustness_sweep_8x10_wallclock_sec",
         "value": round(dt, 1),
