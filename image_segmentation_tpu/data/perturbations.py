@@ -48,28 +48,43 @@ def gaussian_pixel_noise(key: jax.Array, images_u8: jax.Array, std: float) -> ja
     return _to_u8(jnp.round(jnp.clip(noisy, 0, 255)))
 
 
+def _one_box_pass_u8(x_u8: jax.Array) -> jax.Array:
+    """One 3x3 box-filter pass, round then clamp, integer space."""
+    x = x_u8.astype(jnp.float32)
+    p = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))  # zero pad = F.conv2d pad=1
+    acc = jnp.zeros_like(x)
+    for dy in range(3):
+        for dx in range(3):
+            acc = acc + jax.lax.slice(
+                p,
+                (0, dy, dx, 0),
+                (p.shape[0], dy + x.shape[1], dx + x.shape[2], p.shape[3]),
+            )
+    return _to_u8(jnp.clip(jnp.round(acc / 9.0), 0, 255))
+
+
 def box_blur_passes(images_u8: jax.Array, num_passes: int) -> jax.Array:
     """num_passes x (3x3 box filter, round, clamp) in integer space."""
-    if num_passes == 0:
-        return images_u8
-
-    def one_pass(x_u8):
-        x = x_u8.astype(jnp.float32)
-        p = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))  # zero pad = F.conv2d pad=1
-        acc = jnp.zeros_like(x)
-        for dy in range(3):
-            for dx in range(3):
-                acc = acc + jax.lax.slice(
-                    p,
-                    (0, dy, dx, 0),
-                    (p.shape[0], dy + x.shape[1], dx + x.shape[2], p.shape[3]),
-                )
-        return _to_u8(jnp.clip(jnp.round(acc / 9.0), 0, 255))
-
     out = images_u8
-    for _ in range(num_passes):
-        out = one_pass(out)
+    for _ in range(int(num_passes)):
+        out = _one_box_pass_u8(out)
     return out
+
+
+def box_blur_passes_traced(
+    images_u8: jax.Array, num_passes, max_passes: int
+) -> jax.Array:
+    """box_blur_passes with a TRACED pass count: runs ``max_passes``
+    masked passes so every sweep point shares ONE compiled program (the
+    static version recompiles the full evaluator per grid value — ~4 min
+    of remote compile each on this toolchain).  Bit-identical to the
+    static version for num_passes <= max_passes."""
+    np_ = jnp.asarray(num_passes).astype(jnp.int32)
+
+    def body(i, x):
+        return jnp.where(i < np_, _one_box_pass_u8(x), x)
+
+    return jax.lax.fori_loop(0, max_passes, body, images_u8)
 
 
 def contrast_scale(images_u8: jax.Array, factor: float) -> jax.Array:
@@ -88,23 +103,24 @@ def brightness_shift(images_u8: jax.Array, offset, *, increase: bool = True) -> 
     return _to_u8(jnp.clip(jnp.round(x - offset), 0, 255))
 
 
-def occlusion(key: jax.Array, images_u8: jax.Array, square_size: int) -> jax.Array:
-    """Random black square per batch item (perturbations.py:279-327)."""
-    if square_size <= 0:
-        return images_u8
+def occlusion(key: jax.Array, images_u8: jax.Array, square_size) -> jax.Array:
+    """Random black square per batch item (perturbations.py:279-327).
+
+    ``square_size`` may be a TRACED scalar: a size <= 0 yields an empty
+    rectangle (yy >= y0 & yy < y0), i.e. the unperturbed image — the same
+    result as the reference's early return, without a static branch."""
     n, h, w, _ = images_u8.shape
-    if h - square_size <= 0 or w - square_size <= 0:
-        return images_u8
+    size = jnp.round(jnp.asarray(square_size)).astype(jnp.int32)
     ky, kx = jax.random.split(key)
-    y0 = jax.random.randint(ky, (n,), 0, h - square_size + 1)
-    x0 = jax.random.randint(kx, (n,), 0, w - square_size + 1)
+    y0 = jax.random.randint(ky, (n,), 0, jnp.maximum(h - size + 1, 1))
+    x0 = jax.random.randint(kx, (n,), 0, jnp.maximum(w - size + 1, 1))
     yy = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 1)
     xx = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 2)
     inside = (
         (yy >= y0[:, None, None])
-        & (yy < (y0 + square_size)[:, None, None])
+        & (yy < (y0 + size)[:, None, None])
         & (xx >= x0[:, None, None])
-        & (xx < (x0 + square_size)[:, None, None])
+        & (xx < (x0 + size)[:, None, None])
     )
     return jnp.where(inside[..., None], jnp.uint8(0), images_u8)
 
@@ -128,7 +144,7 @@ INT_SWEEPS: Dict[str, dict] = {
     ),
     "gaussian_blur": dict(
         params=[0, 1, 2, 3, 4, 5, 6, 7, 8, 9],
-        fn=lambda key, img, p: box_blur_passes(img, int(p)),
+        fn=lambda key, img, p: box_blur_passes_traced(img, p, max_passes=9),
         random=False,
     ),
     "contrast_increase": dict(
@@ -153,7 +169,7 @@ INT_SWEEPS: Dict[str, dict] = {
     ),
     "occlusion": dict(
         params=[0, 5, 10, 15, 20, 25, 30, 35, 40, 45],
-        fn=lambda key, img, p: occlusion(key, img, int(p)),
+        fn=lambda key, img, p: occlusion(key, img, p),
         random=True,
     ),
     "salt_pepper_noise": dict(
@@ -183,21 +199,37 @@ def float_gaussian_noise(key, images, std):
     return jnp.clip(images + noise, 0.0, 1.0)
 
 
+def _one_box_pass_float(out: jax.Array) -> jax.Array:
+    """One kornia-style 3x3 box pass: REFLECT padding, no rounding."""
+    p = jnp.pad(out, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    acc = jnp.zeros_like(out)
+    for dy in range(3):
+        for dx in range(3):
+            acc = acc + jax.lax.slice(
+                p,
+                (0, dy, dx, 0),
+                (p.shape[0], dy + out.shape[1], dx + out.shape[2], p.shape[3]),
+            )
+    return acc / 9.0
+
+
 def float_repeated_blur(images, times: int):
     """kornia box_blur(3,3) x N, float, REFLECT padding, no rounding."""
     out = images
     for _ in range(int(times)):
-        p = jnp.pad(out, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
-        acc = jnp.zeros_like(out)
-        for dy in range(3):
-            for dx in range(3):
-                acc = acc + jax.lax.slice(
-                    p,
-                    (0, dy, dx, 0),
-                    (p.shape[0], dy + out.shape[1], dx + out.shape[2], p.shape[3]),
-                )
-        out = acc / 9.0
+        out = _one_box_pass_float(out)
     return out
+
+
+def float_repeated_blur_traced(images, times, max_passes: int):
+    """float_repeated_blur with a TRACED count (one compile per battery,
+    not per grid value; bit-identical for times <= max_passes)."""
+    t = jnp.asarray(times).astype(jnp.int32)
+
+    def body(i, x):
+        return jnp.where(i < t, _one_box_pass_float(x), x)
+
+    return jax.lax.fori_loop(0, max_passes, body, images)
 
 
 def float_contrast(images, factor):
@@ -209,14 +241,14 @@ def float_brightness(images, offset):
     return jnp.clip(images + offset / 255.0, 0.0, 1.0)
 
 
-def float_occlusion(key, images, size: int):
-    if size <= 0:
-        return images
-    u8 = (images * 255.0).astype(jnp.uint8)  # reuse geometry helper
+def float_occlusion(key, images, size):
+    """``size`` may be traced; size <= 0 degenerates to an empty
+    rectangle (unperturbed), matching the reference's early return."""
     n, h, w, _ = images.shape
+    size = jnp.round(jnp.asarray(size)).astype(jnp.int32)
     ky, kx = jax.random.split(key)
-    y0 = jax.random.randint(ky, (n,), 0, max(h - size, 0) + 1)
-    x0 = jax.random.randint(kx, (n,), 0, max(w - size, 0) + 1)
+    y0 = jax.random.randint(ky, (n,), 0, jnp.maximum(h - size, 0) + 1)
+    x0 = jax.random.randint(kx, (n,), 0, jnp.maximum(w - size, 0) + 1)
     yy = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 1)
     xx = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 2)
     inside = (
@@ -245,7 +277,7 @@ FLOAT_SWEEPS: Dict[str, dict] = {
     ),
     "blur": dict(
         params=[0, 1, 2, 3, 4, 5, 6, 7, 8, 9],
-        fn=lambda key, img, p: float_repeated_blur(img, p),
+        fn=lambda key, img, p: float_repeated_blur_traced(img, p, max_passes=9),
         random=False,
     ),
     "contrast_increase": dict(
@@ -270,7 +302,7 @@ FLOAT_SWEEPS: Dict[str, dict] = {
     ),
     "occlusion": dict(
         params=[0, 5, 10, 15, 20, 25, 30, 35, 40, 45],
-        fn=lambda key, img, p: float_occlusion(key, img, int(p)),
+        fn=lambda key, img, p: float_occlusion(key, img, p),
         random=True,
     ),
     "salt_pepper": dict(

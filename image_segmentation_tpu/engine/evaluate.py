@@ -115,13 +115,14 @@ class Evaluator:
         return jitted
 
     def _run_sweep_point(self, kind: str, name: Optional[str], param) -> tuple:
-        """Average (iou, pa, dice) over the split for one battery cell."""
-        # blur passes / occlusion size are structural -> static compile;
-        # everything else traces the parameter.
-        static = None
-        if name in ("gaussian_blur", "blur", "occlusion"):
-            static = param
-        fn = self._eval_fn(kind, name, static)
+        """Average (iou, pa, dice) over the split for one battery cell.
+
+        Every sweep family traces its parameter (blur runs max_passes
+        masked box passes; occlusion uses traced randint bounds), so a
+        full battery compiles ONE program per family — the remote
+        compile of a 512^2 evaluator is ~4 min, and the previous
+        static-per-value blur/occlusion added ~18 extra compiles."""
+        fn = self._eval_fn(kind, name, None)
         pipe = BatchPipeline(
             self.test_data, self.batch_size, shuffle=False, drop_last=False
         )

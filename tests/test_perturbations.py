@@ -152,3 +152,54 @@ class TestFloatBattery:
         imgs = jnp.full((1, 32, 32, 3), 0.5, jnp.float32)
         out = np.asarray(P.float_salt_pepper(KEY, imgs, 0.2))
         assert set(np.unique(out)).issubset({0.0, 0.5, 1.0})
+
+
+class TestTracedSweepVariants:
+    """The traced blur/occlusion sweep fns must be bit-identical to the
+    static formulations for every grid value (they share one compiled
+    program per battery instead of one per value)."""
+
+    def test_box_blur_traced_matches_static(self):
+        import jax
+        import jax.numpy as jnp
+
+        from image_segmentation_tpu.data import perturbations as pert
+
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.integers(0, 256, (2, 16, 16, 3), dtype=np.uint8))
+        for p in pert.INT_SWEEPS["gaussian_blur"]["params"]:
+            ref = pert.box_blur_passes(img, p)
+            got = pert.box_blur_passes_traced(img, jnp.float32(p), max_passes=9)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_float_blur_traced_matches_static(self):
+        import jax.numpy as jnp
+
+        from image_segmentation_tpu.data import perturbations as pert
+
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.random((2, 16, 16, 3), dtype=np.float32))
+        for p in pert.FLOAT_SWEEPS["blur"]["params"]:
+            ref = pert.float_repeated_blur(img, p)
+            got = pert.float_repeated_blur_traced(img, jnp.float32(p), max_passes=9)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6
+            )
+
+    def test_occlusion_traced_param_matches_int_param(self):
+        import jax
+        import jax.numpy as jnp
+
+        from image_segmentation_tpu.data import perturbations as pert
+
+        rng = np.random.default_rng(2)
+        img = jnp.asarray(rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8))
+        key = jax.random.PRNGKey(3)
+        for p in (0, 5, 20):
+            a = pert.occlusion(key, img, p)
+            b = pert.occlusion(key, img, jnp.float32(p))
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # size 0 must be a no-op (reference early-returns)
+        np.testing.assert_array_equal(
+            np.asarray(pert.occlusion(key, img, 0)), np.asarray(img)
+        )
