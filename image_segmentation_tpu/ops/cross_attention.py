@@ -42,19 +42,36 @@ from jax.experimental.pallas import tpu as pltpu
 # ---------------------------------------------------------------------------
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float):
+def _attn_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float, s_valid: int
+):
+    """One (batch, q-block) step.  K/V arrive PADDED to a lane-friendly S
+    (>= 128): skinny kv dims otherwise make Mosaic materialize transposes /
+    broadcasts it cannot lay out ("Invalid input layout" at S=1; compile
+    hang at S=8 on this toolchain).  Padded keys are masked to -inf before
+    the softmax, so the result is exact for the s_valid real tokens."""
     q = q_ref[0]  # (BLq, D)
-    k = k_ref[0]  # (S, D)
-    v = v_ref[0]  # (S, D)
+    k = k_ref[0]  # (S_pad, D)
+    v = v_ref[0]  # (S_pad, D)
     d = q.shape[-1]
+    s_pad = k.shape[0]
     dh = d // num_heads
+    if s_valid < s_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], s_pad), 1)
+        pad_mask = col >= s_valid
+    else:
+        pad_mask = None
     outs = []
     for h in range(num_heads):
         sl = slice(h * dh, (h + 1) * dh)
-        scores = (
-            jnp.dot(q[:, sl], k[:, sl].T, preferred_element_type=jnp.float32)
-            * scale
-        )
+        # contract over dh WITHOUT transposing k (dims (1,1)): Mosaic
+        # handles the contraction natively.
+        scores = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (BLq, S_pad)
+        if pad_mask is not None:
+            scores = jnp.where(pad_mask, -jnp.inf, scores)
         w = jax.nn.softmax(scores, axis=-1)
         outs.append(
             jnp.dot(w.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32)
@@ -88,7 +105,16 @@ def pallas_cross_attention(
         interpret = jax.default_backend() != "tpu"
     scale = 1.0 / float(np.sqrt(d // num_heads))
 
-    kernel = functools.partial(_attn_kernel, num_heads=num_heads, scale=scale)
+    # pad the kv length to a lane-friendly size (see _attn_kernel)
+    s_pad = max(128, -(-s // 128) * 128)
+    if s_pad != s:
+        pad = ((0, 0), (0, s_pad - s), (0, 0))
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    kernel = functools.partial(
+        _attn_kernel, num_heads=num_heads, scale=scale, s_valid=s
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, l, d), q.dtype),
@@ -97,8 +123,12 @@ def pallas_cross_attention(
             pl.BlockSpec(
                 (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM

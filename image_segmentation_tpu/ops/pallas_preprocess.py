@@ -25,11 +25,15 @@ Mosaic notes (hard-won):
   instead); jnp.flip (`rev`) is unimplemented (explicit slice stacks).
 
 Status: numerically verified against the XLA pipeline in interpret mode
-(tests/test_pallas_preprocess.py).  The current v5e axon remote-compile
-toolchain still crashes compiling it natively, so the augmentor default
-stays backend="xla" (2.2 ms/batch at 16x512x512, off the critical path —
-the step-time bottleneck is the rotation gather, which overlaps with MXU
-work).  Revisit on a newer libtpu.
+(tests/test_pallas_preprocess.py).  The v5e axon remote-compile toolchain
+cannot compile it natively: round 1 hard-crashed the compile helper;
+round 2's toolchain HANGS >25 min in Mosaic (repro: un-skip
+tests/test_real_tpu_kernels.py::test_pallas_preprocess_native).  The
+other three production Pallas kernels (folded conv fwd/dx/wgrad,
+cross-attention) compile and pass on silicon, so the hang is specific to
+this kernel's op mix (plane-wise HSV select chains are the prime
+suspect).  The augmentor default stays backend="xla" (2.2 ms/batch at
+16x512x512, off the critical path).  Revisit on a newer libtpu.
 
 Grid: one program per image; whole-image blocks (a 512x512 fp32 plane is
 1 MiB — three planes fit easily inside the ~16 MiB VMEM).
