@@ -108,9 +108,12 @@ def occlusion(key: jax.Array, images_u8: jax.Array, square_size) -> jax.Array:
 
     ``square_size`` may be a TRACED scalar: a size <= 0 yields an empty
     rectangle (yy >= y0 & yy < y0), i.e. the unperturbed image — the same
-    result as the reference's early return, without a static branch."""
+    result as the reference's early return, without a static branch.  A size
+    that does not fit the image (>= H or W) likewise degenerates to a no-op,
+    matching the reference's skip (perturbations.py:316)."""
     n, h, w, _ = images_u8.shape
     size = jnp.round(jnp.asarray(square_size)).astype(jnp.int32)
+    fits = (size < h) & (size < w)
     ky, kx = jax.random.split(key)
     y0 = jax.random.randint(ky, (n,), 0, jnp.maximum(h - size + 1, 1))
     x0 = jax.random.randint(kx, (n,), 0, jnp.maximum(w - size + 1, 1))
@@ -121,6 +124,7 @@ def occlusion(key: jax.Array, images_u8: jax.Array, square_size) -> jax.Array:
         & (yy < (y0 + size)[:, None, None])
         & (xx >= x0[:, None, None])
         & (xx < (x0 + size)[:, None, None])
+        & fits
     )
     return jnp.where(inside[..., None], jnp.uint8(0), images_u8)
 
@@ -135,6 +139,11 @@ def salt_pepper(key: jax.Array, images_u8: jax.Array, amount) -> jax.Array:
     return jnp.where(u > 1.0 - amount / 2.0, jnp.uint8(255), out)
 
 
+# Blur pass-count grids; max_passes for the traced variants is DERIVED from
+# these so extending a grid can never silently under-apply passes.
+_INT_BLUR_PARAMS = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+_FLOAT_BLUR_PARAMS = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+
 # Registry with the exact sweep grids of scripts/robustness_evaluation.py:59-92.
 INT_SWEEPS: Dict[str, dict] = {
     "gaussian_noise": dict(
@@ -143,8 +152,10 @@ INT_SWEEPS: Dict[str, dict] = {
         random=True,
     ),
     "gaussian_blur": dict(
-        params=[0, 1, 2, 3, 4, 5, 6, 7, 8, 9],
-        fn=lambda key, img, p: box_blur_passes_traced(img, p, max_passes=9),
+        params=_INT_BLUR_PARAMS,
+        fn=lambda key, img, p: box_blur_passes_traced(
+            img, p, max_passes=max(_INT_BLUR_PARAMS)
+        ),
         random=False,
     ),
     "contrast_increase": dict(
@@ -276,8 +287,10 @@ FLOAT_SWEEPS: Dict[str, dict] = {
         random=True,
     ),
     "blur": dict(
-        params=[0, 1, 2, 3, 4, 5, 6, 7, 8, 9],
-        fn=lambda key, img, p: float_repeated_blur_traced(img, p, max_passes=9),
+        params=_FLOAT_BLUR_PARAMS,
+        fn=lambda key, img, p: float_repeated_blur_traced(
+            img, p, max_passes=max(_FLOAT_BLUR_PARAMS)
+        ),
         random=False,
     ),
     "contrast_increase": dict(

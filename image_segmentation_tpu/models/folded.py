@@ -90,14 +90,27 @@ def _halo_kernel(w: jax.Array, f: int) -> jax.Array:
     return kp.reshape(kh, 1, (f + 2) * ci, f * co)
 
 
-def _halo(x4: jax.Array, ci: int, f: int) -> jax.Array:
+def _halo(x4: jax.Array, ci: int, f: int, inv_perm=None) -> jax.Array:
     """(B, H, Wp, f*Ci) -> (B, H, Wp, (f+2)*Ci): columns [fJ-1 .. fJ+f]
-    per block (zero-padded at the image edges, matching SAME padding)."""
+    per block (zero-padded at the image edges, matching SAME padding).
+
+    ``inv_perm`` (canonical slot-major index -> actual channel) lets the
+    halo columns (canonical slot f-1 of the previous block, slot 0 of the
+    next) be gathered from a non-canonical input layout; the halo slots of
+    the result are always in canonical ci order, while the middle f*Ci
+    channels stay in the actual layout (the kernel permutation handles it).
+    """
     b, h, wp, _ = x4.shape
-    x5 = x4.reshape(b, h, wp, f, ci)
+    if inv_perm is None:
+        x5 = x4.reshape(b, h, wp, f, ci)
+        last, first = x5[:, :, :, f - 1], x5[:, :, :, 0]
+    else:
+        inv = np.asarray(inv_perm, np.int32)
+        last = x4[..., inv[(f - 1) * ci + np.arange(ci)]]
+        first = x4[..., inv[np.arange(ci)]]
     z = jnp.zeros((b, h, 1, ci), x4.dtype)
-    prev_last = jnp.concatenate([z, x5[:, :, :-1, f - 1]], axis=2)
-    next_first = jnp.concatenate([x5[:, :, 1:, 0], z], axis=2)
+    prev_last = jnp.concatenate([z, last[:, :, :-1]], axis=2)
+    next_first = jnp.concatenate([first[:, :, 1:], z], axis=2)
     return jnp.concatenate([prev_last, x4, next_first], axis=-1)
 
 
@@ -159,15 +172,30 @@ class FoldedConv(nn.Module):
             )
             return conv(x4.astype(self.dtype), kernel, bias)
         if self.impl == "halo":
-            wp = _halo_kernel(kernel.astype(self.dtype), self.fold)
-            inp = _halo(x4.astype(self.dtype), self.in_features, self.fold)
+            ci, f = self.in_features, self.fold
+            wp = _halo_kernel(kernel.astype(self.dtype), f)
+            if self.in_perm is not None:
+                # in_perm covers the f*Ci block channels; the halo slots are
+                # gathered into canonical ci order by _halo, so the kernel
+                # permutation is identity on them and in_perm (shifted by
+                # the leading halo slot) on the middle rows.
+                p = np.asarray(self.in_perm, np.int64)
+                inv = np.empty_like(p)
+                inv[p] = np.arange(p.size)
+                full_perm = np.concatenate(
+                    [np.arange(ci), ci + p, (f + 1) * ci + np.arange(ci)]
+                )
+                wp = wp[:, :, full_perm, :]
+                inp = _halo(x4.astype(self.dtype), ci, f, inv_perm=inv)
+            else:
+                inp = _halo(x4.astype(self.dtype), ci, f)
             pad_w = (0, 0)
         else:
             wp = _expand_kernel(kernel.astype(self.dtype), self.fold)
             inp = x4.astype(self.dtype)
+            if self.in_perm is not None:
+                wp = wp[:, :, np.asarray(self.in_perm, np.int32), :]
             pad_w = (1, 1)
-        if self.in_perm is not None:
-            wp = wp[:, :, np.asarray(self.in_perm, np.int32), :]
         out = jax.lax.conv_general_dilated(
             inp,
             wp,

@@ -89,7 +89,10 @@ def bench_robustness_sweep(n_images: int = 256) -> dict:
     test_data = synthetic_dataset(n_images, height=256, width=256, seed=42)
     ev = Evaluator(
         trainer.model,
-        {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats},
+        {
+            "params": trainer.state["params"],
+            "batch_stats": trainer.state["batch_stats"],
+        },
         test_data,
         batch_size=8,
     )

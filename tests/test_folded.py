@@ -61,6 +61,34 @@ class TestFoldedConvBlock:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
 
 
+class TestFoldedConvHaloImpl:
+    """impl='halo' == impl='dense' under one tree, incl. the permuted-input
+    (decoder concat) layout that was broken in round 2 (ADVICE.md)."""
+
+    def test_matches_dense(self):
+        x4 = folded.w2d(rand((2, 16, 16, 8)))
+        dense = folded.FoldedConv(8, 16, dtype=jnp.float32, impl="dense")
+        variables = dense.init(KEY, x4)
+        ref = dense.apply(variables, x4)
+        out = folded.FoldedConv(8, 16, dtype=jnp.float32, impl="halo").apply(
+            variables, x4
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
+
+    def test_matches_dense_with_in_perm(self):
+        perm = folded.concat_perm(8, 8, folded.FOLD)
+        x4 = folded.w2d(rand((2, 16, 16, 16)))[..., np.asarray(perm)]
+        dense = folded.FoldedConv(
+            16, 8, dtype=jnp.float32, impl="dense", in_perm=perm
+        )
+        variables = dense.init(KEY, x4)
+        ref = dense.apply(variables, x4)
+        out = folded.FoldedConv(
+            16, 8, dtype=jnp.float32, impl="halo", in_perm=perm
+        ).apply(variables, x4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
+
+
 class TestFoldedPool:
     def test_matches_standard_pool(self):
         x = rand((2, 16, 16, 8))
