@@ -104,6 +104,11 @@ class NativeBatchPipeline:
                 f"batch_size {batch_size} not divisible by process_count "
                 f"{process_count}"
             )
+        if process_count > 1 and not drop_last:
+            # A remainder batch would give processes UNEQUAL chunks (the C++
+            # strided shard ceils), which cannot form a global array; the
+            # multi-process loader is the training path, which drops it.
+            raise ValueError("process_count > 1 requires drop_last=True")
         self._lib = load_library()
         self.dataset = dataset
         self.sharding = sharding
@@ -158,11 +163,22 @@ class NativeBatchPipeline:
             ).copy()
             self._lib.loader_release(self._handle, slot)
             if self.sharding is not None and b == self._per_proc:
-                di = jax.device_put(images, self.sharding)
-                dm = jax.device_put(masks, self.sharding)
+                # Per-process chunk -> ONE global sharded array (correct
+                # under process_count > 1, where device_put against the
+                # global sharding would hit non-addressable devices; the
+                # C++ shard is strided, so the global batch is a fixed
+                # permutation of the epoch order — harmless, every virtual
+                # index appears exactly once globally).
+                gb = self.global_batch_size
+                di = jax.make_array_from_process_local_data(
+                    self.sharding, images, (gb, h, w, c)
+                )
+                dm = jax.make_array_from_process_local_data(
+                    self.sharding, masks, (gb, h, w)
+                )
             else:
-                # Remainder batch (drop_last=False, eval path): replicated
-                # placement, mirroring BatchPipeline's fallback.
+                # Remainder batch (drop_last=False, single-process eval
+                # path): replicated placement, mirroring BatchPipeline.
                 di = jax.device_put(images)
                 dm = jax.device_put(masks)
             yield di, dm

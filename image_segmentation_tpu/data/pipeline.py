@@ -9,12 +9,16 @@ with a TPU-idiomatic design:
   replication scheme, datasets.py:150-160); the device-side augmentor then
   keeps every (aug+1)-th *batch position* clean
   (processing_blocks.py:374-384 semantics).
-- Per-process sharding: each JAX process takes a strided slice of every
-  global batch (replaces DistributedSampler; ``set_epoch`` == per-epoch
-  reshuffle keyed on (seed, epoch)).
-- Batches are uint8 and are placed on device with an optional
-  ``jax.sharding.NamedSharding`` (batch axis over the data mesh axis), with
-  one batch of lookahead so host slicing overlaps device compute.
+- Per-process sharding: each JAX process materializes only its contiguous
+  chunk of every global batch (replaces DistributedSampler; ``set_epoch`` ==
+  per-epoch reshuffle keyed on (seed, epoch), identical on every process).
+- Batches are uint8.  With a ``jax.sharding.NamedSharding`` the per-process
+  chunks are assembled into ONE global jax.Array via
+  ``jax.make_array_from_process_local_data`` — the only construction that
+  is correct under ``process_count > 1`` (a plain ``device_put`` of a local
+  slice against a global sharding raises on non-addressable devices).  It
+  degenerates to a sharded device_put at ``process_count == 1``.  One batch
+  of lookahead overlaps host slicing with device compute.
 """
 
 from __future__ import annotations
@@ -112,31 +116,59 @@ class BatchPipeline:
         b = self.global_batch_size
         num_batches = self.batches_per_epoch()
 
-        def host_batch(i: int):
+        item_shapes = (
+            self.dataset.images.shape[1:],
+            self._masks.shape[1:],
+        )
+
+        def to_device(i: int):
             idx = order[i * b : (i + 1) * b]
-            # Per-process strided shard of the global batch.
-            idx = idx[self.process_index :: self.process_count]
-            return (
-                self.dataset.images[idx],
-                self._masks[idx],
+            n_i = len(idx)
+            if self.sharding is not None:
+                shardable = n_i % self.process_count == 0
+                if shardable:
+                    try:
+                        # Raises when the (remainder) batch is not divisible
+                        # by the data-axis size.
+                        self.sharding.shard_shape((n_i,) + item_shapes[0])
+                    except ValueError:
+                        shardable = False
+                if shardable:
+                    # Contiguous per-process chunk -> global sharded array.
+                    per = n_i // self.process_count
+                    lo = self.process_index * per
+                    lidx = idx[lo : lo + per]
+                    return tuple(
+                        jax.make_array_from_process_local_data(
+                            self.sharding, src[lidx], (n_i,) + shp
+                        )
+                        for src, shp in zip(
+                            (self.dataset.images, self._masks), item_shapes
+                        )
+                    )
+                # Remainder batch (drop_last=False, eval path): replicated
+                # placement of the FULL batch — every process has the whole
+                # (in-memory) split and the same deterministic order, so the
+                # replicated value is identical everywhere.
+                rep = jax.sharding.NamedSharding(
+                    self.sharding.mesh, jax.sharding.PartitionSpec()
+                )
+                return tuple(
+                    jax.device_put(src[idx], rep)
+                    for src in (self.dataset.images, self._masks)
+                )
+            # No sharding: process-local slice on the default device (the
+            # reference's per-rank validation semantics).
+            lidx = idx[self.process_index :: self.process_count]
+            return tuple(
+                jax.device_put(src[lidx])
+                for src in (self.dataset.images, self._masks)
             )
 
-        def to_device(arrs):
-            if self.sharding is not None:
-                try:
-                    # Raises when the (remainder) batch is not divisible by
-                    # the data-axis size; fall back to replicated placement
-                    # for that final partial batch (eval path only).
-                    self.sharding.shard_shape(arrs[0].shape)
-                    return tuple(jax.device_put(a, self.sharding) for a in arrs)
-                except ValueError:
-                    pass
-            return tuple(jax.device_put(a) for a in arrs)
-
         # One batch of lookahead: enqueue transfer i+1 before yielding i.
-        pending = to_device(host_batch(0)) if num_batches else None
+        pending = to_device(0) if num_batches else None
         for i in range(num_batches):
-            nxt = to_device(host_batch(i + 1)) if i + 1 < num_batches else None
+            nxt = to_device(i + 1) if i + 1 < num_batches else None
             out, pending = pending, nxt
             yield out
 

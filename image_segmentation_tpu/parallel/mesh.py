@@ -28,25 +28,40 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def distributed_init(force: bool = False) -> None:
+def distributed_init(
+    force: bool = False,
+    *,
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
     """Multi-host rendezvous — torchrun/NCCL `init_process_group` equivalent
     of reference train_distributed.py:13-20.
 
-    Calls :func:`jax.distributed.initialize` when a multi-process launcher
-    environment is detected (a coordinator address is set, as the JAX
-    launchers and TPU pod runtimes do) or when ``force`` is passed.
-    Single-process runs are a no-op; double initialization is tolerated so
-    callers need not track launcher state.
+    Explicit ``coordinator_address``/``num_processes``/``process_id`` run the
+    rendezvous directly (the torchrun-args form; exercised by the 2-process
+    CPU-collective test, tests/test_multiprocess.py).  Otherwise the
+    rendezvous runs only when a multi-process launcher environment is
+    detected (a coordinator address in the environment, as the JAX launchers
+    and TPU pod runtimes set) or when ``force`` is passed.  Single-process
+    runs are a no-op; double initialization is tolerated so callers need not
+    track launcher state.
     """
     import os
 
-    coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-        "COORDINATOR_ADDRESS"
+    coordinator = (
+        coordinator_address
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
     )
     if not (force or coordinator):
         return
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
     except RuntimeError as e:  # already initialized by the launcher
         if "already" not in str(e).lower():
             raise

@@ -45,6 +45,52 @@ class TestPetCachePath:
             load_pet_dataset("training")
 
 
+class TestLiveIngestion:
+    """The HF ``load_dataset`` branch (reference datasets.py:40-53,133-135),
+    covered WITHOUT network: a locally saved parquet dataset with the same
+    byte-record schema as mattidebeer/Oxford-IIIT-Pet-Augmented."""
+
+    def _write_parquet_dataset(self, loc, split, n=3):
+        import datasets as hfds
+
+        rng = np.random.default_rng(7)
+        images = rng.integers(0, 256, (n, 256, 256, 3), dtype=np.uint8)
+        palette = np.array([0, 38, 75, 255], np.uint8)
+        raw = palette[rng.integers(0, 4, (n, 256, 256))]
+        ds = hfds.Dataset.from_dict(
+            {
+                "image": [im.tobytes() for im in images],
+                "mask": [m.tobytes() for m in raw],
+            }
+        )
+        os.makedirs(os.path.join(loc, "data"), exist_ok=True)
+        ds.to_parquet(
+            os.path.join(loc, "data", f"{split}-00000-of-00001.parquet")
+        )
+        return images, raw
+
+    def test_load_dataset_branch_deserializes_and_remaps(self, tmp_path):
+        loc = str(tmp_path / "hfds")
+        images, raw = self._write_parquet_dataset(loc, "validation")
+        ds = load_pet_dataset(
+            "validation", dataset_loc=loc, cache=False, keep_raw_masks=True
+        )
+        np.testing.assert_array_equal(ds.images, images)
+        np.testing.assert_array_equal(ds.raw_masks, raw)
+        np.testing.assert_array_equal(ds.masks, records.remap_mask_batch(raw))
+
+    def test_load_dataset_branch_writes_npz_cache(self, tmp_path):
+        loc = str(tmp_path / "hfds")
+        images, _ = self._write_parquet_dataset(loc, "test")
+        ds = load_pet_dataset("test", dataset_loc=loc, cache=True)
+        cache_file = os.path.join(loc, "test_arrays.npz")
+        assert os.path.exists(cache_file)
+        # Second load takes the cache branch and round-trips.
+        ds2 = load_pet_dataset("test", dataset_loc=loc, cache=True)
+        np.testing.assert_array_equal(ds2.images, ds.images)
+        np.testing.assert_array_equal(ds2.masks, ds.masks)
+
+
 class TestConverterCLI:
     def test_resnet34_state_dict_file_roundtrip(self, tmp_path):
         import sys
