@@ -16,6 +16,13 @@ Re-design of the reference's ``TestWrapper`` (model_wrappers.py:251-792) and
 All perturbations run ON DEVICE over uint8 batches; scalar sweep parameters
 are traced arguments wherever possible so one compiled evaluation program
 serves the whole 10-point sweep.
+
+The whole battery is DATA-PARALLEL over a device mesh (BASELINE.json config
+5: "full 8x10 sweep on-device, data-parallel over ICI"): by default the
+Evaluator builds a data-only mesh over every visible device, replicates the
+model state across it, and shards each eval batch over the ``data`` axis —
+XLA inserts the metric all-reduces.  Remainder batches fall back to
+replicated placement (one extra compile, identical math).
 """
 
 from __future__ import annotations
@@ -33,11 +40,17 @@ from ..data.datasets import ArrayDataset
 from ..data.pipeline import BatchPipeline
 from ..ops import augment as aug_ops
 from ..ops import losses as L
+from ..parallel import mesh as mesh_lib
 from ..utils import io as io_lib
 
 
 class Evaluator:
-    """Run a trained model over a test split, clean or corrupted."""
+    """Run a trained model over a test split, clean or corrupted.
+
+    ``mesh``: device mesh for data-parallel evaluation.  Default ("auto")
+    builds a data-only mesh over all visible devices; pass an existing mesh
+    to reuse the trainer's.  The state is replicated over it once.
+    """
 
     def __init__(
         self,
@@ -48,9 +61,12 @@ class Evaluator:
         batch_size: int = 8,
         binary: bool = False,
         seed: int = 42,
+        mesh="auto",
     ):
         self.model = model
-        self.state = state
+        self.mesh = mesh_lib.make_mesh(n_model=1) if mesh == "auto" else mesh
+        self.state = mesh_lib.replicate(self.mesh, state)
+        self.sharding = mesh_lib.batch_sharding(self.mesh)
         self.test_data = test_data
         self.batch_size = batch_size
         self.binary = binary
@@ -124,7 +140,8 @@ class Evaluator:
         static-per-value blur/occlusion added ~18 extra compiles."""
         fn = self._eval_fn(kind, name, None)
         pipe = BatchPipeline(
-            self.test_data, self.batch_size, shuffle=False, drop_last=False
+            self.test_data, self.batch_size, shuffle=False, drop_last=False,
+            sharding=self.sharding,
         )
         sums = None
         n = 0

@@ -80,6 +80,45 @@ class TestSweeps:
             P.INT_SWEEPS.update(full)
 
 
+class TestDataParallelEval:
+    """The battery runs data-parallel over the mesh (BASELINE config 5);
+    metrics are identical to the single-device evaluation."""
+
+    def test_sharded_batches_and_metric_parity(self, evaluator):
+        from image_segmentation_tpu.data.pipeline import BatchPipeline
+        from image_segmentation_tpu.parallel import mesh as mesh_lib
+
+        test_data = synthetic_dataset(length=16, height=32, width=32, seed=9)
+        ev8 = Evaluator(
+            evaluator.model, jax.device_get(evaluator.state), test_data,
+            batch_size=8,
+        )
+        assert ev8.mesh.devices.size == 8  # conftest's virtual mesh
+
+        # Batches really shard over all 8 devices.
+        pipe = BatchPipeline(
+            test_data, 8, shuffle=False, drop_last=False,
+            sharding=ev8.sharding,
+        )
+        images, _ = next(iter(pipe.epoch(0)))
+        assert len(images.sharding.device_set) == 8
+
+        ev1 = Evaluator(
+            evaluator.model, jax.device_get(evaluator.state), test_data,
+            batch_size=8, mesh=mesh_lib.make_mesh(n_data=1, n_model=1),
+        )
+        out8 = ev8.test()
+        out1 = ev1.test()
+        for k in out8:
+            assert out8[k] == pytest.approx(out1[k], abs=1e-5), k
+
+        # A random perturbation point: same key + same global batch =>
+        # identical metrics independent of the sharding.
+        p8 = ev8.test_augmentation("gaussian_noise", 8)
+        p1 = ev1.test_augmentation("gaussian_noise", 8)
+        assert p8["dice"] == pytest.approx(p1["dice"], abs=1e-5)
+
+
 class TestExport:
     def test_export_load_predict_roundtrip(self, tmp_path):
         from image_segmentation_tpu.engine import export as ex
