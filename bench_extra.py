@@ -57,10 +57,26 @@ def bench_clip_unet():
         trainer.state, loss = trainer._train_step(trainer.state, images, masks, key)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
+
+    # Step MFU from the compiler's own FLOP count (XLA cost analysis of the
+    # jitted step) against the v5e bf16 peak.
+    V5E_BF16_PEAK = 197e12
+    try:
+        cost = (
+            trainer._train_step.lower(trainer.state, images, masks, key)
+            .compile()
+            .cost_analysis()
+        )
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+    mfu = flops / (dt / steps) / V5E_BF16_PEAK if flops else None
     print(json.dumps({
         "metric": "clip_unet_256_train_images_per_sec_per_chip",
         "value": round(steps * batch / dt, 2),
         "unit": "images/sec/chip",
+        "mfu_pct": round(100 * mfu, 1) if mfu else None,
+        "step_tflop": round(flops / 1e12, 2) if flops else None,
         "config": {"batch": batch, "size": size},
     }), flush=True)
 

@@ -265,13 +265,24 @@ class FoldedBatchNorm(nn.Module):
     apply: bool = True
 
     @nn.compact
-    def __call__(self, x4: jax.Array = None, stats=None) -> Any:
+    def __call__(self, x4: jax.Array = None, stats=None, raw: bool = False) -> Any:
         """``stats`` (optional): precomputed per-channel f32 (mean, var) —
         e.g. from the fused conv's s1/s2 epilogue — instead of reducing
-        ``x4``."""
+        ``x4``.  ``raw``: declare the parameters/variables and return
+        ``(scale, bias)`` untouched (the whole-block custom-vjp path
+        resolves the affine itself); combine with a later ``stats=...``
+        call on the same instance to commit the running averages."""
         c, f = self.features, self.fold
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        if raw:
+            self.variable(
+                "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+            )
+            self.variable(
+                "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+            )
+            return scale, bias
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
         )
@@ -353,8 +364,13 @@ class FoldedConvBlock(nn.Module):
         slab read (never materialized); conv2 emits bn2's statistics; the
         final bn2-apply + ReLU is one XLA elementwise that fuses into the
         consumer (pool / output conv).
+
+        Training runs the WHOLE block as one custom-vjp node
+        (ops/pallas_conv.make_folded_block) so the BatchNorm backward
+        elementwise is computed inside the Pallas kernels' operand reads
+        instead of as separate full-tensor XLA passes.
         """
-        from ..ops.pallas_conv import make_folded_conv_bn3x3
+        from ..ops.pallas_conv import make_folded_block, make_folded_conv_bn3x3
 
         f, feats, cin = self.fold, self.features, self.in_features
         interp = jax.default_backend() not in ("tpu", "axon")
@@ -370,45 +386,41 @@ class FoldedConvBlock(nn.Module):
         k2, c2b = FoldedConv(
             feats, feats, f, self.dtype, expose_params=True, name="conv2"
         )(x4)
-
-        def bn_affine(name, stats):
-            return FoldedBatchNorm(
-                feats, f,
-                use_running_average=not train,
-                dtype=self.dtype, apply=False, name=name,
-            )(stats=stats)
+        bn1 = FoldedBatchNorm(
+            feats, f, use_running_average=not train,
+            dtype=self.dtype, apply=False, name="bn1",
+        )
+        bn2 = FoldedBatchNorm(
+            feats, f, use_running_average=not train,
+            dtype=self.dtype, apply=False, name="bn2",
+        )
 
         x4 = x4.astype(self.dtype)
-        bsz, hh, wp, _ = x4.shape
-        n = bsz * hh * wp * f
         if train:
-            conv1 = make_folded_conv_bn3x3(
-                cin, feats, f, in_perm=perm_t, pre=False, stats=True,
-                interpret=interp,
+            scale1, bias1 = bn1(raw=True)
+            scale2, bias2 = bn2(raw=True)
+            block = make_folded_block(
+                cin, feats, f, in_perm=perm_t, eps=BN_EPS, interpret=interp
             )
-            y1, s1, s2 = conv1(x4, k1, c1b)
-            mean1 = s1 / n
-            var1 = jnp.maximum(0.0, s2 / n - mean1 * mean1)
-            a1, b1 = bn_affine("bn1", (mean1, var1))
-            conv2 = make_folded_conv_bn3x3(
-                feats, feats, f, pre=True, stats=True, interpret=interp
+            z, mean1, var1, mean2, var2 = block(
+                x4, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2
             )
-            y2, s21, s22 = conv2(y1, k2, c2b, a1, b1)
-            mean2 = s21 / n
-            var2 = jnp.maximum(0.0, s22 / n - mean2 * mean2)
-            a2, b2 = bn_affine("bn2", (mean2, var2))
-        else:
-            conv1 = make_folded_conv_bn3x3(
-                cin, feats, f, in_perm=perm_t, pre=False, stats=False,
-                interpret=interp,
-            )
-            y1 = conv1(x4, k1, c1b)
-            a1, b1 = bn_affine("bn1", None)
-            conv2 = make_folded_conv_bn3x3(
-                feats, feats, f, pre=True, stats=False, interpret=interp
-            )
-            y2 = conv2(y1, k2, c2b, a1, b1)
-            a2, b2 = bn_affine("bn2", None)
+            # Commit the running averages (the returned affines are unused
+            # and dead-code eliminated).
+            bn1(stats=(mean1, var1))
+            bn2(stats=(mean2, var2))
+            return z
+        conv1 = make_folded_conv_bn3x3(
+            cin, feats, f, in_perm=perm_t, pre=False, stats=False,
+            interpret=interp,
+        )
+        y1 = conv1(x4, k1, c1b)
+        a1, b1 = bn1()
+        conv2 = make_folded_conv_bn3x3(
+            feats, feats, f, pre=True, stats=False, interpret=interp
+        )
+        y2 = conv2(y1, k2, c2b, a1, b1)
+        a2, b2 = bn2()
         a2f = jnp.tile(a2, f).astype(self.dtype)
         b2f = jnp.tile(b2, f).astype(self.dtype)
         return nn.relu(y2 * a2f + b2f)

@@ -129,15 +129,47 @@ def _pick_h_tile(
     return 1
 
 
+def _gfold_transform(g, y, gf_ref, mode, lanes):
+    """Stats-folded cotangent computed ON READ (in f32, cast back).
+
+    ``mode == "stats"``  (gf (2, lanes) rows [c1, c2]):
+        ge = g + c1 + 2*y*c2
+    ``mode == "affine"`` (gf (4, lanes) rows [a, b, c1, c2]):
+        ge = g * a * ((y*a + b) > 0) + c1 + 2*y*c2
+    — i.e. the backward of ``z = relu(y*a + b)`` composed with the batch-
+    statistic cotangents (c1 = dS, c2 = dQ per lane), which XLA otherwise
+    materializes as separate full-tensor passes (round-3 XProf: ~7 ms of
+    divide/multiply fusions + ~4.7 ms of converts per step at 512^2).
+    """
+    gfl = g.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    if mode == "affine":
+        a_p = gf_ref[0:1].reshape(1, 1, lanes)
+        b_p = gf_ref[1:2].reshape(1, 1, lanes)
+        c1 = gf_ref[2:3].reshape(1, 1, lanes)
+        c2 = gf_ref[3:4].reshape(1, 1, lanes)
+        gfl = jnp.where(yf * a_p + b_p > 0.0, gfl * a_p, 0.0)
+    else:
+        c1 = gf_ref[0:1].reshape(1, 1, lanes)
+        c2 = gf_ref[1:2].reshape(1, 1, lanes)
+    return (gfl + c1 + 2.0 * yf * c2).astype(g.dtype)
+
+
 def _build_aug(
     top_ref, mid_ref, bot_ref, *, ht, wp, lanes, prev_runs, next_runs,
-    ab_ref=None,
+    ab_ref=None, y_refs=None, gf_ref=None, gfold=None,
 ):
     """(ht+2, wp, lanes + 2*ci) haloed slab built entirely in VMEM.
 
     ``ab_ref`` (2, lanes): apply ``relu(x*a + b)`` to the RAW slab reads
     BEFORE any zero insertion — SAME padding pads the *activated* tensor
     with zeros, so inserted pad positions must stay 0, not relu(b).
+
+    ``y_refs``/``gf_ref``/``gfold``: the slab is a COTANGENT whose stats
+    fold is computed on read (:func:`_gfold_transform`); ``y_refs`` are the
+    matching forward-output slabs (same index maps).  Zero insertion after
+    the transform keeps conv-backward SAME-padding semantics (the cotangent
+    beyond the image edge is zero).
     """
     n_h = pl.num_programs(1)
     i = pl.program_id(1)
@@ -145,6 +177,11 @@ def _build_aug(
     mid = mid_ref[0]  # (ht, wp, lanes)
     top = top_ref[0]  # (1, wp, lanes)
     bot = bot_ref[0]
+    if gfold is not None:
+        y_top, y_mid, y_bot = y_refs
+        top = _gfold_transform(top, y_top[0], gf_ref, gfold, lanes)
+        mid = _gfold_transform(mid, y_mid[0], gf_ref, gfold, lanes)
+        bot = _gfold_transform(bot, y_bot[0], gf_ref, gfold, lanes)
     if ab_ref is not None:
         # affine + relu in f32: Mosaic on this toolchain rejects bf16
         # compares ("Target does not support this comparison")
@@ -196,6 +233,7 @@ def _conv_kernel_body(
     pre: bool = False,
     post: bool = False,
     stats: bool = False,
+    gfold: str | None = None,
 ):
     """Conv core with optional fusions:
 
@@ -210,10 +248,15 @@ def _conv_kernel_body(
     - ``stats``: accumulates per-lane ``s1 = sum y`` / ``s2 = sum y^2`` of
       the CAST output grid-wide (the following BatchNorm's batch stats,
       saving its full-tensor reduce pass).
+    - ``gfold``: the slab is a raw cotangent; its BatchNorm backward
+      (affine-relu adjoint and/or stats-cotangent fold) is computed on
+      read from matching forward-output slabs (:func:`_gfold_transform`).
     """
     it = iter(refs)
     top_ref, mid_ref, bot_ref = next(it), next(it), next(it)
+    y_refs = (next(it), next(it), next(it)) if gfold else None
     w_ref, bias_ref = next(it), next(it)
+    gf_ref = next(it) if gfold else None
     ab_pre_ref = next(it) if pre else None
     x_ref = next(it) if post else None
     ab_post_ref = next(it) if post else None
@@ -228,7 +271,7 @@ def _conv_kernel_body(
     aug = _build_aug(
         top_ref, mid_ref, bot_ref,
         ht=ht, wp=wp, lanes=lanes, prev_runs=prev_runs, next_runs=next_runs,
-        ab_ref=ab_pre_ref,
+        ab_ref=ab_pre_ref, y_refs=y_refs, gf_ref=gf_ref, gfold=gfold,
     )
     kdim = lanes + 2 * ci
 
@@ -284,18 +327,23 @@ def _folded_conv_pallas(
     x_post: jax.Array | None = None,
     ab_post: jax.Array | None = None,
     stats: bool = False,
+    g_y: jax.Array | None = None,
+    gf_consts: jax.Array | None = None,
+    gfold: str | None = None,
 ):
     """Run the kernel: x4 (B, H, Wp, L) x w_mats (3, L+2ci, N) -> (B, H, Wp, N).
 
     With ``stats``: returns (y, s1 (N,), s2 (N,)) f32 output sums.
     With ``x_post``/``ab_post``: returns (y, da (N,), dbp (N,)) — see
     :func:`_conv_kernel_body`.
+    With ``gfold``: ``x4`` is a raw cotangent; ``g_y`` (same shape) and
+    ``gf_consts`` ((2|4, L) f32) feed the on-read stats fold.
     """
     pre = ab_pre is not None
     post = x_post is not None
     b, h, wp, lanes = x4.shape
     n_out = w_mats.shape[-1]
-    extra = n_out if post else 0
+    extra = (n_out if post else 0) + (lanes if gfold else 0)
     ht = h_tile or _pick_h_tile(
         h, wp, lanes, w_mats.shape[1], n_out + extra, x4.dtype.itemsize
     )
@@ -316,10 +364,11 @@ def _folded_conv_pallas(
         pre=pre,
         post=post,
         stats=stats,
+        gfold=gfold,
     )
     flops = 2 * b * h * wp * (lanes + 2 * ci) * n_out * 3
     n_h = h // ht
-    in_specs = [
+    slab_specs = [
         # one row above the tile (clamped; zeroed in-kernel at i == 0)
         pl.BlockSpec(
             (1, 1, wp, lanes),
@@ -332,10 +381,22 @@ def _folded_conv_pallas(
             (1, 1, wp, lanes),
             lambda b, i: (b, jnp.minimum(i * ht + ht, n_h * ht - 1), 0, 0),
         ),
+    ]
+    in_specs = list(slab_specs)
+    args = [x4, x4, x4]
+    if gfold:
+        in_specs.extend(slab_specs)  # y slabs, same index maps
+        args.extend([g_y, g_y, g_y])
+    in_specs.extend([
         pl.BlockSpec((3, w_mats.shape[1], n_out), lambda b, i: (0, 0, 0)),
         pl.BlockSpec((1, n_out), lambda b, i: (0, 0)),
-    ]
-    args = [x4, x4, x4, w_mats, bias_f]
+    ])
+    args.extend([w_mats, bias_f])
+    if gfold:
+        in_specs.append(
+            pl.BlockSpec((gf_consts.shape[0], lanes), lambda b, i: (0, 0))
+        )
+        args.append(gf_consts)
     if pre:
         in_specs.append(pl.BlockSpec((2, lanes), lambda b, i: (0, 0)))
         args.append(ab_pre)
@@ -380,6 +441,7 @@ def _wgrad_kernel_body(
     prev_runs: Sequence[tuple[int, int]],
     next_runs: Sequence[tuple[int, int]],
     pre: bool = False,
+    gfold: str | None = None,
 ):
     """dkp[dy] = sum over tiles of aug_rows(dy)^T @ g_rows; db = sum g.
 
@@ -389,11 +451,17 @@ def _wgrad_kernel_body(
 
     ``pre``: the slab is activated (``relu(aug*a + b)``) before the
     contraction, matching the fused forward.
+
+    ``gfold``: the ``g`` operand is a raw cotangent; its stats fold is
+    computed on read from the matching forward-output block ``y`` and the
+    per-lane constants (:func:`_gfold_transform`).
     """
     it = iter(refs)
     top_ref, mid_ref, bot_ref, g_ref = (
         next(it), next(it), next(it), next(it)
     )
+    y_ref = next(it) if gfold else None
+    gf_ref = next(it) if gfold else None
     ab_ref = next(it) if pre else None
     dkp_ref, db_ref = next(it), next(it)
     ht = h_tile
@@ -405,7 +473,10 @@ def _wgrad_kernel_body(
         ab_ref=ab_ref,
     )
     kdim = lanes + 2 * ci
-    g = g_ref[0].reshape(ht * wp, n_out)
+    g_raw = g_ref[0]
+    if gfold:
+        g_raw = _gfold_transform(g_raw, y_ref[0], gf_ref, gfold, n_out)
+    g = g_raw.reshape(ht * wp, n_out)
 
     @pl.when(jnp.logical_and(b == 0, i == 0))
     def _():
@@ -432,6 +503,9 @@ def _folded_wgrad_pallas(
     h_tile: int | None,
     interpret: bool,
     ab_pre: jax.Array | None = None,
+    g_y: jax.Array | None = None,
+    gf_consts: jax.Array | None = None,
+    gfold: str | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """(dkp (3, lanes+2ci, N) f32 in KERNEL row order [prev|actual mid|next],
     db (N,) f32) from one pass over x4 and g."""
@@ -439,7 +513,10 @@ def _folded_wgrad_pallas(
     b, h, wp, lanes = x4.shape
     n_out = g.shape[-1]
     kdim = lanes + 2 * ci
-    ht = h_tile or _pick_h_tile(h, wp, lanes, kdim, n_out, x4.dtype.itemsize)
+    extra = n_out if gfold else 0
+    ht = h_tile or _pick_h_tile(
+        h, wp, lanes, kdim, n_out + extra, x4.dtype.itemsize
+    )
     assert h % ht == 0, (h, ht)
     n_h = h // ht
 
@@ -453,6 +530,7 @@ def _folded_wgrad_pallas(
         prev_runs=prev_runs,
         next_runs=next_runs,
         pre=pre,
+        gfold=gfold,
     )
     flops = 2 * b * h * wp * kdim * n_out * 3
     in_specs = [
@@ -468,6 +546,12 @@ def _folded_wgrad_pallas(
         pl.BlockSpec((1, ht, wp, n_out), lambda b, i: (b, i, 0, 0)),
     ]
     args = [x4, x4, x4, g]
+    if gfold:
+        in_specs.append(pl.BlockSpec((1, ht, wp, n_out), lambda b, i: (b, i, 0, 0)))
+        in_specs.append(
+            pl.BlockSpec((gf_consts.shape[0], n_out), lambda b, i: (0, 0))
+        )
+        args.extend([g_y, gf_consts])
     if pre:
         in_specs.append(pl.BlockSpec((2, lanes), lambda b, i: (0, 0)))
         args.append(ab_pre)
@@ -729,3 +813,190 @@ def make_folded_conv_bn3x3(
 
     conv_nopre.defvjp(conv_nopre_fwd, conv_bwd)
     return conv_nopre
+
+
+@functools.lru_cache(maxsize=None)
+def make_folded_block(
+    in_features: int,
+    features: int,
+    fold: int = 4,
+    in_perm: tuple | None = None,
+    eps: float = 1e-5,
+    h_tile: int | None = None,
+    interpret: bool = False,
+):
+    """The whole training-mode [Conv-BN-ReLU]x2 folded block as ONE
+    custom-vjp node.
+
+    Forward (identical math to the composed path): conv1 with a batch-stat
+    epilogue -> bn1 affine resolved from (S1, Q1) -> conv2 with bn1-apply +
+    ReLU folded into the slab read and its own stat epilogue -> bn2 affine
+    -> ``z = relu(y2 * a2 + b2)``.
+
+    Backward is hand-composed so the BatchNorm backward elementwise that
+    XLA otherwise materializes between the conv kernels (the cotangent
+    stats-fold ``ge = g + dS + 2*y*dQ`` and the affine-relu adjoint
+    ``g*mask*a``) is computed INSIDE the Pallas kernels' operand reads
+    (``gfold``) — at 512^2 batch 16 those XLA passes cost ~12 ms/step
+    (round-3 XProf).  The per-channel scalar chains (S, Q, scale, bias) ->
+    (a, b, mean, var) are differentiated with ``jax.vjp`` on the tiny
+    scalar function, so they match the autodiff path exactly.
+
+    Returns ``block(x4, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2) ->
+    (z, mean1, var1, mean2, var2)`` — the means/vars feed the module's
+    running-average update (no gradient flows through them).
+
+    Reference parity: the composition equals reference ConvBlock
+    (processing_blocks.py:21-52) on the folded layout; equivalence incl.
+    all gradients vs the dense path is asserted in tests/test_pallas_conv.py.
+    """
+    f, ci, co = fold, in_features, features
+    lanes1, lanes2 = f * ci, f * co
+    perm = (
+        np.arange(lanes1, dtype=np.int64)
+        if in_perm is None
+        else np.asarray(in_perm, np.int64)
+    )
+    assert perm.shape == (lanes1,)
+    prev1 = tuple(_slot_runs(perm, ci, f - 1))
+    next1 = tuple(_slot_runs(perm, ci, 0))
+    row_map1 = np.concatenate(
+        [np.arange(ci), ci + perm, (f + 1) * ci + np.arange(ci)]
+    )
+    inv_row_map1 = np.argsort(row_map1)
+    # conv2 input and both cotangent sides are canonical co lanes.
+    prev2 = (((f - 1) * co, co),)
+    next2 = ((0, co),)
+    chan2 = np.arange(lanes2) % co
+
+    def bn_scalars(S, Q, scale, bias, n):
+        mean = S / n
+        var = jnp.maximum(0.0, Q / n - mean * mean)
+        a = jax.lax.rsqrt(var + eps) * scale
+        b = bias - mean * a
+        return a, b, mean, var
+
+    def fwd_impl(x4, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2):
+        bsz, h, wp, _ = x4.shape
+        n = bsz * h * wp * f
+        dt = x4.dtype
+        wm1 = _halo_matrices(k1, f, dt)[:, row_map1, :]
+        b1f = jnp.tile(c1b, f).reshape(1, lanes2).astype(jnp.float32)
+        y1, S1l, Q1l = _folded_conv_pallas(
+            x4, wm1, b1f, fold=f, ci=ci, prev_runs=prev1, next_runs=next1,
+            h_tile=h_tile, interpret=interpret, stats=True,
+        )
+        S1 = S1l.reshape(f, co).sum(0)
+        Q1 = Q1l.reshape(f, co).sum(0)
+        a1, b1, mean1, var1 = bn_scalars(S1, Q1, scale1, bias1, n)
+        ab1 = jnp.stack([a1[chan2], b1[chan2]]).astype(dt)
+        wm2 = _halo_matrices(k2, f, dt)
+        b2f = jnp.tile(c2b, f).reshape(1, lanes2).astype(jnp.float32)
+        y2, S2l, Q2l = _folded_conv_pallas(
+            y1, wm2, b2f, fold=f, ci=co, prev_runs=prev2, next_runs=next2,
+            h_tile=h_tile, interpret=interpret, ab_pre=ab1, stats=True,
+        )
+        S2 = S2l.reshape(f, co).sum(0)
+        Q2 = Q2l.reshape(f, co).sum(0)
+        a2, b2, mean2, var2 = bn_scalars(S2, Q2, scale2, bias2, n)
+        z = jnp.maximum(
+            y2 * jnp.tile(a2, f).astype(dt) + jnp.tile(b2, f).astype(dt), 0
+        )
+        out = (z, mean1, var1, mean2, var2)
+        res = (
+            x4, y1, y2, k1, k2, S1, Q1, S2, Q2,
+            scale1, bias1, scale2, bias2, a1, b1, a2, b2,
+        )
+        return out, res
+
+    @jax.custom_vjp
+    def block(x4, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2):
+        out, _ = fwd_impl(x4, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2)
+        return out
+
+    def block_fwd(x4, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2):
+        return fwd_impl(x4, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2)
+
+    def block_bwd(res, ct):
+        (
+            x4, y1, y2, k1, k2, S1, Q1, S2, Q2,
+            scale1, bias1, scale2, bias2, a1, b1, a2, b2,
+        ) = res
+        dz, dmean1ct, dvar1ct, dmean2ct, dvar2ct = ct
+        bsz, h, wp, _ = x4.shape
+        n = bsz * h * wp * f
+        dt = x4.dtype
+
+        # bn2 affine-relu backward reductions: ONE fused pass over (dz, y2).
+        a2l = jnp.tile(a2, f)
+        b2l = jnp.tile(b2, f)
+        y2f = y2.astype(jnp.float32)
+        P = jnp.where(y2f * a2l + b2l > 0.0, dz.astype(jnp.float32), 0.0)
+        da2 = jnp.sum(P * y2f, axis=(0, 1, 2)).reshape(f, co).sum(0)
+        db2 = jnp.sum(P, axis=(0, 1, 2)).reshape(f, co).sum(0)
+
+        _, pull2 = jax.vjp(
+            lambda S, Q, sc, bi: bn_scalars(S, Q, sc, bi, n),
+            S2, Q2, scale2, bias2,
+        )
+        dS2, dQ2, dscale2, dbias2 = pull2((da2, db2, dmean2ct, dvar2ct))
+        gf2 = jnp.stack(
+            [a2l, b2l, jnp.tile(dS2, f), jnp.tile(dQ2, f)]
+        ).astype(jnp.float32)
+
+        # conv2 dx: ge2 computed on slab read; pre-op adjoint emits gy1
+        # plus the bn1 affine reductions grid-wide.
+        kb2 = jnp.transpose(k2[::-1, ::-1], (0, 1, 3, 2))
+        wb2 = _halo_matrices(kb2, f, dz.dtype)
+        zeros2 = jnp.zeros((1, lanes2), jnp.float32)
+        ab1 = jnp.stack([a1[chan2], b1[chan2]]).astype(dt)
+        gy1, da1_l, db1_l = _folded_conv_pallas(
+            dz, wb2, zeros2, fold=f, ci=co, prev_runs=prev2, next_runs=next2,
+            h_tile=h_tile, interpret=interpret,
+            x_post=y1, ab_post=ab1,
+            g_y=y2, gf_consts=gf2, gfold="affine",
+        )
+        dkp2, dc2b_f = _folded_wgrad_pallas(
+            y1, dz, ci=co, prev_runs=prev2, next_runs=next2,
+            h_tile=h_tile, interpret=interpret,
+            ab_pre=ab1, g_y=y2, gf_consts=gf2, gfold="affine",
+        )
+        dk2 = _wgrad_from_halo(dkp2, f, co, co).astype(k2.dtype)
+        dc2b = dc2b_f.reshape(f, co).sum(0)
+
+        # bn1 scalar chain.
+        da1 = da1_l.reshape(f, co).sum(0)
+        db1 = db1_l.reshape(f, co).sum(0)
+        _, pull1 = jax.vjp(
+            lambda S, Q, sc, bi: bn_scalars(S, Q, sc, bi, n),
+            S1, Q1, scale1, bias1,
+        )
+        dS1, dQ1, dscale1, dbias1 = pull1((da1, db1, dmean1ct, dvar1ct))
+        gf1 = jnp.stack([jnp.tile(dS1, f), jnp.tile(dQ1, f)]).astype(
+            jnp.float32
+        )
+
+        # conv1 dx/wgrad: ge1 = gy1 + dS1 + 2*y1*dQ1 computed on read.
+        kb1 = jnp.transpose(k1[::-1, ::-1], (0, 1, 3, 2))
+        wb1 = _halo_matrices(kb1, f, dz.dtype)[:, :, perm]
+        zeros1 = jnp.zeros((1, lanes1), jnp.float32)
+        dx4 = _folded_conv_pallas(
+            gy1, wb1, zeros1, fold=f, ci=co, prev_runs=prev2, next_runs=next2,
+            h_tile=h_tile, interpret=interpret,
+            g_y=y1, gf_consts=gf1, gfold="stats",
+        )
+        dkp1, dc1b_f = _folded_wgrad_pallas(
+            x4, gy1, ci=ci, prev_runs=prev1, next_runs=next1,
+            h_tile=h_tile, interpret=interpret,
+            g_y=y1, gf_consts=gf1, gfold="stats",
+        )
+        dk1 = _wgrad_from_halo(
+            dkp1[:, inv_row_map1, :], f, ci, co
+        ).astype(k1.dtype)
+        dc1b = dc1b_f.reshape(f, co).sum(0)
+        return (
+            dx4, dk1, dc1b, dk2, dc2b, dscale1, dbias1, dscale2, dbias2
+        )
+
+    block.defvjp(block_fwd, block_bwd)
+    return block

@@ -120,6 +120,46 @@ def test_pallas_preprocess_native(tpu_backend):
 
 
 @requires_real_tpu
+def test_folded_block_vjp_native(tpu_backend):
+    """Native compile of the whole-block custom VJP (make_folded_block):
+    forward values AND all parameter gradients vs the dense folded impl."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.models import folded
+    from image_segmentation_tpu.models.folded import w2d
+
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (2, 64, 64, 8), jnp.float32)
+    x4 = w2d(x)
+    g = jax.random.normal(jax.random.PRNGKey(8), (2, 64, 16, 64), jnp.float32)
+
+    def loss(params, impl):
+        m = folded.FoldedConvBlock(8, 16, dtype=jnp.float32, impl=impl)
+        out, _ = m.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x4, train=True, mutable=["batch_stats"],
+        )
+        return jnp.sum(out * g)
+
+    dense = folded.FoldedConvBlock(8, 16, dtype=jnp.float32, impl="dense")
+    variables = dense.init(key, x4, train=False)
+    gd = jax.jit(jax.grad(lambda p: loss(p, "dense")))(variables["params"])
+    gf = jax.jit(jax.grad(lambda p: loss(p, "pallas_fused")))(
+        variables["params"]
+    )
+    flat_f = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(gf)
+    )
+    for k, vd in jax.tree_util.tree_leaves_with_path(gd):
+        np.testing.assert_allclose(
+            np.asarray(vd), np.asarray(flat_f[jax.tree_util.keystr(k)]),
+            rtol=2e-2, atol=2e-2, err_msg=jax.tree_util.keystr(k),
+        )
+
+
+@requires_real_tpu
 def test_folded_conv_native(tpu_backend):
     """Native Mosaic compile of the folded halo conv (ops/pallas_conv.py)
     at a production-like shape, vs the dense-expanded XLA formulation."""
