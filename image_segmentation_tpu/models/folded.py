@@ -458,6 +458,7 @@ class FoldedConvTranspose2x2(nn.Module):
     features: int
     fold: int = FOLD
     dtype: Any = jnp.bfloat16
+    impl: str = "dense"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -475,6 +476,15 @@ class FoldedConvTranspose2x2(nn.Module):
         k = kernel.astype(self.dtype)
 
         xf = x.astype(self.dtype).reshape(b, hin, win // m, m * cin)
+        if self.impl == "pallas_fused":
+            # Pallas kernel: same matmul, but the dy row interleave stays
+            # in VMEM instead of XLA's transpose+copy through HBM.
+            from ..ops.pallas_conv import make_folded_convtranspose2x2
+
+            interp = jax.default_backend() not in ("tpu", "axon")
+            return make_folded_convtranspose2x2(
+                cin, co, f, interpret=interp
+            )(xf, kernel, bias)
         # flax ConvTranspose(k=2, s=2, VALID) applies the kernel FLIPPED:
         # out[2i+dy, 2j+dx] = in[i, j] * K[1-dy, 1-dx]  (probed empirically).
         k = k[::-1, ::-1]
@@ -530,6 +540,16 @@ class FoldedConvBlockDownsample(nn.Module):
             self.in_features, self.features, self.fold, self.dtype,
             impl=self.impl, name="conv_block",
         )(x4, train=train)
+        if self.impl == "pallas_fused":
+            # Pallas pool: identical values; its hand-written backward
+            # replaces XLA's select/pad/interleave chain (~9 ms/step at
+            # 512^2 batch 16 — round-3 XProf, folded.py:441-442 fusions).
+            from ..ops.pallas_conv import make_folded_pool
+
+            interp = jax.default_backend() not in ("tpu", "axon")
+            return make_folded_pool(
+                self.features, self.fold, interpret=interp
+            )(h)
         return folded_max_pool_2x2(h, self.features, self.fold)
 
 
@@ -550,7 +570,8 @@ class FoldedConvBlockUpsampleSkip(nn.Module):
         self, x: jax.Array, skip4: jax.Array, *, train: bool = False
     ) -> jax.Array:
         up4 = FoldedConvTranspose2x2(
-            self.in_features, self.features, self.fold, self.dtype, name="up"
+            self.in_features, self.features, self.fold, self.dtype,
+            impl=self.impl, name="up",
         )(x)
         assert up4.shape[:3] == skip4.shape[:3], (
             "folded decoder requires matching resolutions (resize would be "

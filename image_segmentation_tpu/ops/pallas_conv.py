@@ -577,6 +577,398 @@ def _folded_wgrad_pallas(
     return dkp, db[0]
 
 
+def _bnred_kernel_body(
+    g_ref, y_ref, ab_ref, da_ref, db_ref, *, h_tile: int, wp: int, lanes: int
+):
+    """Accumulate the BatchNorm-affine+ReLU backward reductions grid-wide:
+    ``P = where(y*a + b > 0, g, 0)``; ``da += sum P*y``; ``db += sum P``.
+    Same VMEM-resident revisiting pattern as the wgrad db accumulator."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    gf = g_ref[0].astype(jnp.float32)
+    yf = y_ref[0].astype(jnp.float32)
+    a = ab_ref[0:1].reshape(1, 1, lanes)
+    bb = ab_ref[1:2].reshape(1, 1, lanes)
+    P = jnp.where(yf * a + bb > 0.0, gf, 0.0)
+
+    @pl.when(jnp.logical_and(b == 0, i == 0))
+    def _():
+        da_ref[...] = jnp.zeros_like(da_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    da_ref[0] = da_ref[0] + jnp.sum(P * yf, axis=(0, 1))
+    db_ref[0] = db_ref[0] + jnp.sum(P, axis=(0, 1))
+
+
+def _bn_relu_bwd_reduce_pallas(
+    g: jax.Array,
+    y: jax.Array,
+    ab: jax.Array,
+    *,
+    h_tile: int | None,
+    interpret: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """(da (L,), db (L,)) f32 — the per-lane reductions of the backward of
+    ``z = relu(y*a + b)`` — in ONE read of (g, y).
+
+    XLA materializes this as a full-tensor select pass plus a separate
+    reduce (~10 ms/step at 512^2 batch 16, round-3 XProf: the
+    divide_multiply + reduce fusions around the level-0 block backward);
+    here it is a single bandwidth-bound Pallas reduction.
+    """
+    b, h, wp, lanes = g.shape
+    ht = h_tile or _pick_h_tile(h, wp, lanes, lanes, lanes, g.dtype.itemsize)
+    assert h % ht == 0, (h, ht)
+    da, db = pl.pallas_call(
+        functools.partial(_bnred_kernel_body, h_tile=ht, wp=wp, lanes=lanes),
+        grid=(b, h // ht),
+        in_specs=[
+            pl.BlockSpec((1, ht, wp, lanes), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, ht, wp, lanes), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((2, lanes), lambda b, i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, lanes), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, lanes), lambda b, i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((1, lanes), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * g.size,
+            bytes_accessed=2 * g.size * g.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(g, y, ab)
+    return da[0], db[0]
+
+
+def _pool_fwd_kernel_body(z_ref, p_ref, *, ht_o: int, wp: int, c: int, f: int):
+    """Folded 2x2 max-pool forward on a (2*ht_o, wp, f*c) tile: channel-
+    slot-pair max then row-pair max (models/folded.folded_max_pool_2x2)."""
+    half = f // 2
+    z = z_ref[0].astype(jnp.float32)
+    cols = [
+        jnp.maximum(
+            z[..., (2 * t) * c : (2 * t + 1) * c],
+            z[..., (2 * t + 1) * c : (2 * t + 2) * c],
+        )
+        for t in range(half)
+    ]
+    m = cols[0] if half == 1 else jnp.concatenate(cols, axis=-1)
+    m = m.reshape(ht_o, 2, wp, half * c)
+    p_ref[0] = jnp.maximum(m[:, 0], m[:, 1]).astype(p_ref.dtype)
+
+
+def _pool_bwd_kernel_body(
+    z_ref, dp_ref, dz_ref, *, ht_o: int, wp: int, c: int, f: int
+):
+    """Route ``dp`` to the argmax positions in ONE pass over (z, dp) —
+    first-match ties (row 2R before 2R+1; slot 2t before 2t+1), replacing
+    XLA's select/pad/interleave backward chain (~9 ms/step at 512^2 b16)."""
+    half = f // 2
+    hc = half * c
+    z = z_ref[0].astype(jnp.float32)  # (2*ht_o, wp, f*c); f32 compares
+    dp = dp_ref[0].astype(jnp.float32)  # (ht_o, wp, hc)
+    a = [z[..., (2 * t) * c : (2 * t + 1) * c] for t in range(half)]
+    b = [z[..., (2 * t + 1) * c : (2 * t + 2) * c] for t in range(half)]
+    ca = [x >= y for x, y in zip(a, b)]
+    m_t = [jnp.maximum(x, y) for x, y in zip(a, b)]
+    m = m_t[0] if half == 1 else jnp.concatenate(m_t, axis=-1)
+    mr = m.reshape(ht_o, 2, wp, hc)
+    w0 = mr[:, 0] >= mr[:, 1]
+    zero = jnp.zeros_like(dp)
+    dm0 = jnp.where(w0, dp, zero)
+    dm1 = jnp.where(w0, zero, dp)
+    dm = jnp.concatenate(
+        [dm0.reshape(ht_o, 1, wp, hc), dm1.reshape(ht_o, 1, wp, hc)], axis=1
+    ).reshape(2 * ht_o, wp, hc)
+    parts = []
+    for t in range(half):
+        dmt = dm[..., t * c : (t + 1) * c]
+        zt = jnp.zeros_like(dmt)
+        parts.append(jnp.where(ca[t], dmt, zt))
+        parts.append(jnp.where(ca[t], zt, dmt))
+    dz_ref[0] = jnp.concatenate(parts, axis=-1).astype(dz_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def make_folded_pool(
+    c: int, f: int = 4, h_tile: int | None = None, interpret: bool = False
+):
+    """Differentiable folded 2x2 max-pool as Pallas fwd/bwd kernels.
+
+    ``pool(z4) -> p4`` with z4 (B, H, Wp, f*c) -> p4 (B, H/2, Wp, (f/2)*c);
+    exact same values as models/folded.folded_max_pool_2x2 (the backward
+    uses first-match tie routing like reduce_window's select-and-scatter).
+    Reference: torch F.max_pool2d in ConvBlockDownSample
+    (processing_blocks.py:55-77) on the folded layout.
+    """
+    half = f // 2
+
+    def _fwd_pallas(z4):
+        bsz, h, wp, lanes = z4.shape
+        ho = h // 2
+        ht_o = h_tile or next(
+            t for t in (16, 8, 4, 2, 1)
+            if ho % t == 0
+            and 2 * t * wp * lanes * 12 <= 12 * 1024 * 1024
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _pool_fwd_kernel_body, ht_o=ht_o, wp=wp, c=c, f=f
+            ),
+            grid=(bsz, ho // ht_o),
+            in_specs=[
+                pl.BlockSpec((1, 2 * ht_o, wp, lanes), lambda b, i: (b, i, 0, 0))
+            ],
+            out_specs=pl.BlockSpec(
+                (1, ht_o, wp, half * c), lambda b, i: (b, i, 0, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (bsz, ho, wp, half * c), z4.dtype
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * z4.size,
+                bytes_accessed=z4.size * z4.dtype.itemsize * 3 // 2,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(z4)
+
+    @jax.custom_vjp
+    def pool(z4):
+        return _fwd_pallas(z4)
+
+    def pool_fwd(z4):
+        return _fwd_pallas(z4), z4
+
+    def pool_bwd(z4, dp):
+        bsz, h, wp, lanes = z4.shape
+        ho = h // 2
+        ht_o = h_tile or next(
+            t for t in (16, 8, 4, 2, 1)
+            if ho % t == 0
+            and 2 * t * wp * lanes * 16 <= 12 * 1024 * 1024
+        )
+        dz = pl.pallas_call(
+            functools.partial(
+                _pool_bwd_kernel_body, ht_o=ht_o, wp=wp, c=c, f=f
+            ),
+            grid=(bsz, ho // ht_o),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 2 * ht_o, wp, lanes), lambda b, i: (b, i, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, ht_o, wp, half * c), lambda b, i: (b, i, 0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 2 * ht_o, wp, lanes), lambda b, i: (b, i, 0, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct(z4.shape, z4.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * z4.size,
+                bytes_accessed=z4.size * z4.dtype.itemsize * 5 // 2,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(z4, dp)
+        return (dz,)
+
+    pool.defvjp(pool_fwd, pool_bwd)
+    return pool
+
+
+def _ct_fwd_kernel_body(
+    x_ref, kp_ref, bias_ref, out_ref, *, ht: int, wpm: int, mcin: int, fco: int
+):
+    """ConvTranspose(2x2, s=2) tile: one matmul, rows interleaved IN VMEM
+    (the XLA lowering materializes the (.., 2, ..) transpose through HBM)."""
+    xv = x_ref[0].reshape(ht * wpm, mcin)
+    e = jax.lax.dot_general(
+        xv, kp_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (ht*wpm, 2*fco): dy-major columns
+    e0 = e[:, :fco].reshape(ht, 1, wpm, fco)
+    e1 = e[:, fco:].reshape(ht, 1, wpm, fco)
+    out = jnp.concatenate([e0, e1], axis=1).reshape(2 * ht, wpm, fco)
+    out_ref[0] = (out + bias_ref[0].reshape(1, 1, fco)).astype(out_ref.dtype)
+
+
+def _ct_bwd_kernel_body(
+    g_ref, x_ref, kpt_ref, dx_ref, dkp_ref, db_ref,
+    *, ht: int, wpm: int, mcin: int, fco: int,
+):
+    """dx + grid-accumulated (dkp, db) in one pass over (g, x)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    g2 = g_ref[0]  # (2*ht, wpm, fco)
+    gr = g2.reshape(ht, 2, wpm, fco)
+    de = jnp.concatenate([gr[:, 0], gr[:, 1]], axis=-1).reshape(
+        ht * wpm, 2 * fco
+    )
+    dxv = jax.lax.dot_general(
+        de, kpt_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[0] = dxv.reshape(ht, wpm, mcin).astype(dx_ref.dtype)
+
+    @pl.when(jnp.logical_and(b == 0, i == 0))
+    def _():
+        dkp_ref[...] = jnp.zeros_like(dkp_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    xv = x_ref[0].reshape(ht * wpm, mcin)
+    dkp_ref[...] = dkp_ref[...] + jax.lax.dot_general(
+        xv, de, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db_ref[0] = db_ref[0] + jnp.sum(
+        g2.astype(jnp.float32).reshape(2 * ht * wpm, fco), axis=0
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def make_folded_convtranspose2x2(
+    in_features: int,
+    features: int,
+    fold: int = 4,
+    h_tile: int | None = None,
+    interpret: bool = False,
+):
+    """Differentiable ConvTranspose(k=2, s=2) from an m-folded input to an
+    f-folded output as Pallas fwd/bwd kernels.
+
+    ``ct(xf, kernel, bias) -> y4`` with
+      xf: (B, Hin, Win/m, m*Cin), m = fold//2  (free reshape of the
+          unfolded (B, Hin, Win, Cin) input)
+      kernel: (2, 2, Cin, Co) — the UNfolded nn.ConvTranspose parameter
+      bias: (Co,)
+      y4: (B, 2*Hin, Win/m, fold*Co)
+    Same math as models/folded.FoldedConvTranspose2x2's einsum path
+    (reference up-convs, processing_blocks.py:80-107), but the row
+    interleave happens in VMEM instead of as an XLA transpose+copy chain
+    (~6 ms/step fwd+bwd at the 512^2 decoder level, round-3 XProf).
+    """
+    f, ci, co = fold, in_features, features
+    m = f // 2
+    mcin = m * ci
+    fco = f * co
+
+    def _build_kp(kernel, dt):
+        # flax ConvTranspose(k=2, s=2, VALID) applies the kernel FLIPPED
+        # (models/folded.py:478-488): out[2i+dy, f*J+v] uses K[1-dy, 1-dx]
+        # with v = 2*mm + dx.
+        k = kernel.astype(dt)[::-1, ::-1]
+        kp = jnp.zeros((m, ci, 2, f, co), dt)
+        for mm in range(m):
+            for dx in range(2):
+                kp = kp.at[mm, :, :, 2 * mm + dx, :].set(
+                    jnp.transpose(k[:, dx], (1, 0, 2))
+                )
+        return kp.reshape(mcin, 2 * fco)
+
+    def _dk_from_dkp(dkp, dtype):
+        # adjoint of _build_kp: gather the block-sparse slots back, unflip.
+        dkp5 = dkp.reshape(m, ci, 2, f, co)
+        cols = []
+        for dx in range(2):
+            # dk_k[:, dx, c, o] = sum_mm dkp5[mm, c, :, 2mm+dx, :]
+            acc = sum(dkp5[mm, :, :, 2 * mm + dx, :] for mm in range(m))
+            cols.append(jnp.transpose(acc, (1, 0, 2)))  # (2, ci, co)
+        dk_k = jnp.stack(cols, axis=1)  # (2, 2, ci, co)
+        return dk_k[::-1, ::-1].astype(dtype)
+
+    def _pick_ht(h, wpm):
+        lim = 12 * 1024 * 1024
+        for t in (32, 16, 8, 4, 2, 1):
+            if h % t == 0 and t * wpm * (mcin + 2 * fco) * 12 <= lim:
+                return t
+        return 1
+
+    def _fwd_pallas(xf, kp, bias_f):
+        bsz, h, wpm, _ = xf.shape
+        ht = h_tile or _pick_ht(h, wpm)
+        return pl.pallas_call(
+            functools.partial(
+                _ct_fwd_kernel_body, ht=ht, wpm=wpm, mcin=mcin, fco=fco
+            ),
+            grid=(bsz, h // ht),
+            in_specs=[
+                pl.BlockSpec((1, ht, wpm, mcin), lambda b, i: (b, i, 0, 0)),
+                pl.BlockSpec((mcin, 2 * fco), lambda b, i: (0, 0)),
+                pl.BlockSpec((1, fco), lambda b, i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 2 * ht, wpm, fco), lambda b, i: (b, i, 0, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct((bsz, 2 * h, wpm, fco), xf.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * bsz * h * wpm * mcin * 2 * fco,
+                bytes_accessed=3 * bsz * h * wpm * mcin * xf.dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(xf, kp, bias_f)
+
+    @jax.custom_vjp
+    def ct(xf, kernel, bias):
+        dt = xf.dtype
+        return _fwd_pallas(
+            xf, _build_kp(kernel, dt),
+            jnp.tile(bias, f).reshape(1, fco).astype(jnp.float32),
+        )
+
+    def ct_fwd(xf, kernel, bias):
+        return ct(xf, kernel, bias), (xf, kernel)
+
+    def ct_bwd(res, g):
+        xf, kernel = res
+        dt = xf.dtype
+        bsz, h, wpm, _ = xf.shape
+        ht = h_tile or _pick_ht(h, wpm)
+        kpt = _build_kp(kernel, dt).T  # (2*fco, mcin)
+        dx, dkp, db = pl.pallas_call(
+            functools.partial(
+                _ct_bwd_kernel_body, ht=ht, wpm=wpm, mcin=mcin, fco=fco
+            ),
+            grid=(bsz, h // ht),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 2 * ht, wpm, fco), lambda b, i: (b, i, 0, 0)
+                ),
+                pl.BlockSpec((1, ht, wpm, mcin), lambda b, i: (b, i, 0, 0)),
+                pl.BlockSpec((2 * fco, mcin), lambda b, i: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, ht, wpm, mcin), lambda b, i: (b, i, 0, 0)),
+                pl.BlockSpec((mcin, 2 * fco), lambda b, i: (0, 0)),
+                pl.BlockSpec((1, fco), lambda b, i: (0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(xf.shape, xf.dtype),
+                jax.ShapeDtypeStruct((mcin, 2 * fco), jnp.float32),
+                jax.ShapeDtypeStruct((1, fco), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=4 * bsz * h * wpm * mcin * 2 * fco,
+                bytes_accessed=4 * bsz * h * wpm * mcin * xf.dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(g, xf, kpt)
+        dk = _dk_from_dkp(dkp, kernel.dtype)
+        dbias = db[0].reshape(f, co).sum(0).astype(kernel.dtype)
+        return dx, dk, dbias
+
+    ct.defvjp(ct_fwd, ct_bwd)
+    return ct
+
+
 @functools.lru_cache(maxsize=None)
 def make_folded_conv3x3(
     in_features: int,
@@ -927,13 +1319,16 @@ def make_folded_block(
         n = bsz * h * wp * f
         dt = x4.dtype
 
-        # bn2 affine-relu backward reductions: ONE fused pass over (dz, y2).
+        # bn2 affine-relu backward reductions: one Pallas reduction pass
+        # over (dz, y2) instead of XLA's full-tensor select + reduce.
         a2l = jnp.tile(a2, f)
         b2l = jnp.tile(b2, f)
-        y2f = y2.astype(jnp.float32)
-        P = jnp.where(y2f * a2l + b2l > 0.0, dz.astype(jnp.float32), 0.0)
-        da2 = jnp.sum(P * y2f, axis=(0, 1, 2)).reshape(f, co).sum(0)
-        db2 = jnp.sum(P, axis=(0, 1, 2)).reshape(f, co).sum(0)
+        ab2 = jnp.stack([a2l, b2l]).astype(jnp.float32)
+        da2_l, db2_l = _bn_relu_bwd_reduce_pallas(
+            dz, y2, ab2, h_tile=h_tile, interpret=interpret
+        )
+        da2 = da2_l.reshape(f, co).sum(0)
+        db2 = db2_l.reshape(f, co).sum(0)
 
         _, pull2 = jax.vjp(
             lambda S, Q, sc, bi: bn_scalars(S, Q, sc, bi, n),

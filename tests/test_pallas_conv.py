@@ -201,3 +201,154 @@ def test_fused_factory_cold_cache_inside_jit_no_leak():
     y1 = jax.jit(call)(x4, kern, bias)
     y2 = jax.jit(lambda *t: call(*t) * 1.0)(x4, kern, bias)  # second trace
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6, atol=1e-6)
+
+
+class TestFoldedPoolPallas:
+    """make_folded_pool (Pallas fwd/bwd) vs the jnp folded_max_pool_2x2 —
+    values AND the routed gradient, incl. through a full Downsample block."""
+
+    def test_values_and_grad_match_jnp_pool(self):
+        from image_segmentation_tpu.ops.pallas_conv import make_folded_pool
+
+        c, f = 16, 4
+        z = jax.random.normal(KEY, (2, 16, 8, f * c), jnp.float32)
+        dp = jax.random.normal(
+            jax.random.PRNGKey(3), (2, 8, 8, (f // 2) * c), jnp.float32
+        )
+        pool = make_folded_pool(c, f, interpret=True)
+        ref = folded.folded_max_pool_2x2(z, c, f)
+        np.testing.assert_allclose(
+            np.asarray(pool(z)), np.asarray(ref), rtol=1e-6, atol=1e-6
+        )
+        gp = jax.grad(lambda t: jnp.sum(pool(t) * dp))(z)
+        gr = jax.grad(
+            lambda t: jnp.sum(folded.folded_max_pool_2x2(t, c, f) * dp)
+        )(z)
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gr), rtol=1e-6, atol=1e-6
+        )
+
+    def test_downsample_fused_matches_dense_impl(self):
+        from image_segmentation_tpu.models.blocks import ConvBlockDownsample
+
+        x = jax.random.normal(jax.random.PRNGKey(7), (2, 16, 16, 8), jnp.float32)
+        std = ConvBlockDownsample(16, dtype=jnp.float32)
+        variables = std.init(KEY, x, train=False)
+        x4 = w2d(x)
+        g = jax.random.normal(jax.random.PRNGKey(8), (2, 8, 4, 32), jnp.float32)
+
+        def loss(params, impl):
+            m = folded.FoldedConvBlockDownsample(
+                8, 16, dtype=jnp.float32, impl=impl
+            )
+            out, _ = m.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x4, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out * g), out
+
+        (_, od), gd = jax.value_and_grad(
+            lambda p: loss(p, "dense"), has_aux=True
+        )(variables["params"])
+        (_, of), gf = jax.value_and_grad(
+            lambda p: loss(p, "pallas_fused"), has_aux=True
+        )(variables["params"])
+        np.testing.assert_allclose(
+            np.asarray(of), np.asarray(od), rtol=2e-4, atol=2e-4
+        )
+        flat_f = dict(
+            (jax.tree_util.keystr(k), v)
+            for k, v in jax.tree_util.tree_leaves_with_path(gf)
+        )
+        for k, vd in jax.tree_util.tree_leaves_with_path(gd):
+            np.testing.assert_allclose(
+                np.asarray(vd),
+                np.asarray(flat_f[jax.tree_util.keystr(k)]),
+                rtol=5e-4, atol=5e-4, err_msg=jax.tree_util.keystr(k),
+            )
+
+
+class TestFoldedConvTransposePallas:
+    """make_folded_convtranspose2x2 (Pallas fwd/bwd) vs the einsum-path
+    FoldedConvTranspose2x2 — values and all three gradients — plus the full
+    FoldedConvBlockUpsampleSkip block dense-vs-pallas_fused."""
+
+    def test_values_and_grads_match_einsum_path(self):
+        from image_segmentation_tpu.ops.pallas_conv import (
+            make_folded_convtranspose2x2,
+        )
+
+        f, ci, co = 4, 12, 8
+        m = f // 2
+        b, hin, win = 2, 8, 16
+        x = jax.random.normal(KEY, (b, hin, win, ci), jnp.float32)
+        mod = folded.FoldedConvTranspose2x2(ci, co, f, jnp.float32)
+        variables = mod.init(KEY, x)
+        kernel = variables["params"]["kernel"]
+        bias = variables["params"]["bias"]
+        ref = mod.apply(variables, x)
+        ct = make_folded_convtranspose2x2(ci, co, f, interpret=True)
+        xf = x.reshape(b, hin, win // m, m * ci)
+        np.testing.assert_allclose(
+            np.asarray(ct(xf, kernel, bias)), np.asarray(ref),
+            rtol=1e-5, atol=1e-5,
+        )
+        g = jax.random.normal(jax.random.PRNGKey(1), ref.shape, jnp.float32)
+        gr = jax.grad(
+            lambda k, bb, xx: jnp.sum(
+                mod.apply({"params": {"kernel": k, "bias": bb}}, xx) * g
+            ),
+            argnums=(0, 1, 2),
+        )(kernel, bias, x)
+        gc = jax.grad(
+            lambda k, bb, xx: jnp.sum(
+                ct(xx.reshape(b, hin, win // m, m * ci), k, bb) * g
+            ),
+            argnums=(0, 1, 2),
+        )(kernel, bias, x)
+        for name, a, c in zip(("dk", "db", "dx"), gr, gc):
+            np.testing.assert_allclose(
+                np.asarray(c.reshape(a.shape)), np.asarray(a),
+                rtol=1e-4, atol=1e-4, err_msg=name,
+            )
+
+    def test_upsample_skip_fused_matches_dense_impl(self):
+        f, ci, co = 4, 16, 8
+        x = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 16, ci), jnp.float32)
+        skip4 = jax.random.normal(
+            jax.random.PRNGKey(6), (2, 16, 8, f * co), jnp.float32
+        )
+        g = jax.random.normal(jax.random.PRNGKey(7), (2, 16, 8, f * co), jnp.float32)
+        init = folded.FoldedConvBlockUpsampleSkip(
+            ci, co, f, jnp.float32, impl="dense"
+        ).init(KEY, x, skip4, train=False)
+
+        def loss(params, impl):
+            m = folded.FoldedConvBlockUpsampleSkip(
+                ci, co, f, jnp.float32, impl=impl
+            )
+            out, _ = m.apply(
+                {"params": params, "batch_stats": init["batch_stats"]},
+                x, skip4, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out * g), out
+
+        (_, od), gd = jax.value_and_grad(
+            lambda p: loss(p, "dense"), has_aux=True
+        )(init["params"])
+        (_, of), gf = jax.value_and_grad(
+            lambda p: loss(p, "pallas_fused"), has_aux=True
+        )(init["params"])
+        np.testing.assert_allclose(
+            np.asarray(of), np.asarray(od), rtol=2e-4, atol=2e-4
+        )
+        flat_f = dict(
+            (jax.tree_util.keystr(k), v)
+            for k, v in jax.tree_util.tree_leaves_with_path(gf)
+        )
+        for k, vd in jax.tree_util.tree_leaves_with_path(gd):
+            np.testing.assert_allclose(
+                np.asarray(vd),
+                np.asarray(flat_f[jax.tree_util.keystr(k)]),
+                rtol=5e-4, atol=5e-4, err_msg=jax.tree_util.keystr(k),
+            )
