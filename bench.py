@@ -48,6 +48,10 @@ def main() -> None:
             # defaults.
             "w2d_impl": os.environ.get("IMGSEG_BENCH_W2D_IMPL", "pallas_fused"),
             "w2d_level1": os.environ.get("IMGSEG_BENCH_W2D_L1", "0") == "1",
+            # Level 1 folded at f/2 (relayout-free chain; +4 img/s measured:
+            # 119.3 -> 123.3).  The refold-to-f variant (W2D_L1) stays off.
+            "w2d_level1_fold2":
+                os.environ.get("IMGSEG_BENCH_W2D_L1F2", "1") == "1",
         },
         data=DataConfig(
             dataset="synthetic",

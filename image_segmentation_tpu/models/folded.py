@@ -36,6 +36,16 @@ from .blocks import BN_EPS, BN_MOMENTUM
 FOLD = 4  # 4 * 32 channels == the 128-lane register width
 
 
+def _pallas_min_wp() -> int:
+    """Folded-width threshold below which the Pallas pool / ConvTranspose
+    kernels lose to XLA (sublane underfill at wp=64 tiles; ClipUnet@256
+    measured 412 -> 380 img/s ungated).  Env-overridable so the CPU test
+    suite can exercise the kernels at tiny shapes."""
+    import os
+
+    return int(os.environ.get("IMGSEG_PALLAS_MIN_WP", "128"))
+
+
 def w2d(x: jax.Array, f: int = FOLD) -> jax.Array:
     """(B, H, W, C) -> (B, H, W/f, f*C); slot-major channel layout (t, c)."""
     b, h, w, c = x.shape
@@ -459,6 +469,10 @@ class FoldedConvTranspose2x2(nn.Module):
     fold: int = FOLD
     dtype: Any = jnp.bfloat16
     impl: str = "dense"
+    # x is already the slot-major (B, Hin, Win/m, m*Cin) view (e.g. the
+    # fold-2 output of a fold-2 decoder block) — skip the reshape, which
+    # on TPU is a physical lane relayout, not a free view.
+    in_folded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -471,14 +485,21 @@ class FoldedConvTranspose2x2(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         f = self.fold
         m = f // 2  # input fold factor: each input col feeds 2 output cols
-        b, hin, win, cin = x.shape
+        cin = self.in_features
         co = self.features
         k = kernel.astype(self.dtype)
 
-        xf = x.astype(self.dtype).reshape(b, hin, win // m, m * cin)
-        if self.impl == "pallas_fused":
+        if self.in_folded:
+            assert x.shape[-1] == m * cin, (x.shape, m, cin)
+            b, hin = x.shape[0], x.shape[1]
+            xf = x.astype(self.dtype)
+        else:
+            b, hin, win, _ = x.shape
+            xf = x.astype(self.dtype).reshape(b, hin, win // m, m * cin)
+        if self.impl == "pallas_fused" and xf.shape[2] >= _pallas_min_wp():
             # Pallas kernel: same matmul, but the dy row interleave stays
-            # in VMEM instead of XLA's transpose+copy through HBM.
+            # in VMEM instead of XLA's transpose+copy through HBM.  Gated
+            # on wp >= 128 like the Pallas pool (sublane underfill below).
             from ..ops.pallas_conv import make_folded_convtranspose2x2
 
             interp = jax.default_backend() not in ("tpu", "axon")
@@ -496,10 +517,11 @@ class FoldedConvTranspose2x2(nn.Module):
                 v = 2 * mm + dx
                 # K[dy, dx, c, o] -> slot [mm, c, dy, v, o]
                 kp = kp.at[mm, :, :, v, :].set(jnp.transpose(k[:, dx], (1, 0, 2)))
+        wpm = xf.shape[2]
         e = xf @ kp.reshape(m * cin, 2 * f * co)  # (B, Hin, Win/m, 2*f*Co)
-        e = e.reshape(b, hin, win // m, 2, f * co)
+        e = e.reshape(b, hin, wpm, 2, f * co)
         e = jnp.transpose(e, (0, 1, 3, 2, 4))  # (B, Hin, dy, Win/m, f*Co)
-        out = e.reshape(b, 2 * hin, win // m, f * co)
+        out = e.reshape(b, 2 * hin, wpm, f * co)
         return out + jnp.tile(bias.astype(self.dtype), f)
 
 
@@ -540,10 +562,13 @@ class FoldedConvBlockDownsample(nn.Module):
             self.in_features, self.features, self.fold, self.dtype,
             impl=self.impl, name="conv_block",
         )(x4, train=train)
-        if self.impl == "pallas_fused":
+        if self.impl == "pallas_fused" and h.shape[2] >= _pallas_min_wp():
             # Pallas pool: identical values; its hand-written backward
             # replaces XLA's select/pad/interleave chain (~9 ms/step at
             # 512^2 batch 16 — round-3 XProf, folded.py:441-442 fusions).
+            # Gated on wp >= 128: at wp=64 (e.g. 256^2 inputs) the tiles
+            # underfill the sublane dimension and the kernel LOSES to XLA
+            # (ClipUnet@256 412 -> 380 img/s measured).
             from ..ops.pallas_conv import make_folded_pool
 
             interp = jax.default_backend() not in ("tpu", "axon")
@@ -564,6 +589,9 @@ class FoldedConvBlockUpsampleSkip(nn.Module):
     fold: int = FOLD
     dtype: Any = jnp.bfloat16
     impl: str = "dense"
+    # x is already the (B, H, W/m, m*Cin) slot-major view (see
+    # FoldedConvTranspose2x2.in_folded).
+    in_folded: bool = False
 
     @nn.compact
     def __call__(
@@ -571,7 +599,7 @@ class FoldedConvBlockUpsampleSkip(nn.Module):
     ) -> jax.Array:
         up4 = FoldedConvTranspose2x2(
             self.in_features, self.features, self.fold, self.dtype,
-            impl=self.impl, name="up",
+            impl=self.impl, in_folded=self.in_folded, name="up",
         )(x)
         assert up4.shape[:3] == skip4.shape[:3], (
             "folded decoder requires matching resolutions (resize would be "

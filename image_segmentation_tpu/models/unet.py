@@ -42,6 +42,16 @@ class UNet(nn.Module):
     # Also fold level 1 (enc2 + the second-to-last decoder); requires
     # w2d_level0 and at least 2 encoder levels.
     w2d_level1: bool = False
+    # Fold level 1 at factor f/2 instead of f.  Unlike w2d_level1 (which
+    # REFOLDS the pool output back to f — a lane relayout — and was
+    # measured slower), the f/2 chain is relayout-free end to end: the
+    # level-0 pool's natural output IS the canonical fold-f/2 layout, the
+    # fold-f/2 pool output IS the unfolded level-2 input, enc1's folded
+    # skip feeds the fold-f/2 decoder directly, and that decoder's output
+    # is exactly the (W/m, m*C) view the level-0 up-conv consumes
+    # (in_folded=True).  Halo-kernel FLOP overhead is (f/2+2)/3 = 4/3x
+    # logical at f/2=2, vs 2x at f=4.  Takes precedence over w2d_level1.
+    w2d_level1_fold2: bool = False
     # Folded-conv implementation: "dense" (XLA, expanded kernel), "halo"
     # (XLA, materialized halo), "pallas" (fused VMEM-halo kernel,
     # ops/pallas_conv.py), or "pallas_fused" (additionally fuses BN stats
@@ -108,8 +118,21 @@ class UNet(nn.Module):
         )(stem4, train=train)
         enc1_folded = h4  # folded by f//2
 
-        fold_l1 = self.w2d_level1 and len(self.encoder_features) >= 2
-        if fold_l1:
+        many_enc = len(self.encoder_features) >= 2
+        fold_l1_2 = self.w2d_level1_fold2 and many_enc and f >= 4
+        fold_l1 = self.w2d_level1 and many_enc and not fold_l1_2
+        if fold_l1_2:
+            # enc1's pool output is ALREADY the canonical fold-f/2 layout,
+            # and the fold-f/2 pool folds by (f/2)/2 ... = 1, i.e. its
+            # output IS the unfolded level-2 input — zero relayouts.
+            e2_feats = self.encoder_features[1]
+            h = folded.FoldedConvBlockDownsample(
+                e1_feats, e2_feats, f // 2, self.dtype, impl=self.w2d_impl,
+                name="enc2"
+            )(h4, train=train)
+            first_std_enc = 3
+            skips = [None, None, h]  # enc2 (unfolded) is dec_{N-2}'s skip
+        elif fold_l1:
             e2_feats = self.encoder_features[1]
             h4 = folded.FoldedConvBlockDownsample(
                 e1_feats, e2_feats, f, self.dtype, impl=self.w2d_impl,
@@ -136,14 +159,25 @@ class UNet(nn.Module):
         )(h, train=train)
 
         dec_feats = list(self.encoder_features[::-1]) + [stem_c]
-        n_folded_dec = 2 if fold_l1 else 1
+        n_folded_dec = 2 if (fold_l1 or fold_l1_2) else 1
         for i, feats in enumerate(dec_feats[:-n_folded_dec]):
             skip = skips[-(i + 1)]
             h = ConvBlockUpsampleSkip(feats, dtype=self.dtype, name=f"dec{i + 1}")(
                 h, skip, train=train
             )
 
-        if fold_l1:
+        dec5_in_folded = False
+        if fold_l1_2:
+            # second-to-last decoder at fold f/2: skip is enc1's pool
+            # output in its NATURAL fold-f/2 layout, and the block's
+            # fold-f/2 output is exactly the (W/m, m*C) view the final
+            # decoder's up-conv consumes — no relayout either side.
+            h = folded.FoldedConvBlockUpsampleSkip(
+                dec_feats[-3], e1_feats, f // 2, self.dtype,
+                impl=self.w2d_impl, name=f"dec{len(dec_feats) - 1}",
+            )(h, enc1_folded, train=train)
+            dec5_in_folded = True
+        elif fold_l1:
             # second-to-last decoder folded (skip = folded enc1)
             h4 = folded.FoldedConvBlockUpsampleSkip(
                 dec_feats[-3], e1_feats, f, self.dtype, impl=self.w2d_impl,
@@ -154,7 +188,7 @@ class UNet(nn.Module):
         # final decoder level folded (skip = folded stem)
         h4 = folded.FoldedConvBlockUpsampleSkip(
             dec_feats[-2], stem_c, f, self.dtype, impl=self.w2d_impl,
-            name=f"dec{len(dec_feats)}"
+            in_folded=dec5_in_folded, name=f"dec{len(dec_feats)}"
         )(h, stem4, train=train)
 
         out4 = folded.Folded1x1(

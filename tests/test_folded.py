@@ -216,3 +216,54 @@ class TestFoldedLevel1:
             jax.tree.leaves(m1["batch_stats"]), jax.tree.leaves(m2["batch_stats"])
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
+
+
+class TestFoldedLevel1Fold2:
+    """w2d_level1_fold2: level 1 folded at f/2 (relayout-free chain —
+    unet.py `_folded_forward`); equivalence incl. gradients for the dense
+    and pallas_fused impls."""
+
+    @pytest.mark.parametrize("impl", ["dense", "pallas_fused"])
+    def test_matches_standard_eval_train_grads(self, impl, monkeypatch):
+        # exercise the Pallas pool/ConvTranspose at test-sized widths too
+        monkeypatch.setenv("IMGSEG_PALLAS_MIN_WP", "1")
+        kw = dict(stem_features=8, encoder_features=(16, 32, 64))
+        std = UNet(out_channels=3, dtype=jnp.float32, **kw)
+        fast = UNet(out_channels=3, dtype=jnp.float32, w2d_level0=True,
+                    w2d_level1_fold2=True, w2d_impl=impl, **kw)
+        x = rand((2, 64, 64, 3))
+        variables = std.init(KEY, x, train=False)
+        assert jax.tree_util.tree_structure(variables) == (
+            jax.tree_util.tree_structure(fast.init(KEY, x, train=False))
+        )
+        ref = std.apply(variables, x, train=False)
+        out = fast.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
+
+        o1, m1 = std.apply(variables, x, train=True, mutable=["batch_stats"])
+        o2, m2 = fast.apply(variables, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), **TOL)
+        for a, b in zip(
+            jax.tree.leaves(m1["batch_stats"]), jax.tree.leaves(m2["batch_stats"])
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
+
+        g = rand(o1.shape)
+
+        def loss(model, p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out * g)
+
+        g1 = jax.grad(lambda p: loss(std, p))(variables["params"])
+        g2 = jax.grad(lambda p: loss(fast, p))(variables["params"])
+        for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g1),
+            jax.tree_util.tree_leaves_with_path(g2),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-4,
+                err_msg=jax.tree_util.keystr(kp),
+            )

@@ -228,7 +228,10 @@ class TestFoldedPoolPallas:
             np.asarray(gp), np.asarray(gr), rtol=1e-6, atol=1e-6
         )
 
-    def test_downsample_fused_matches_dense_impl(self):
+    def test_downsample_fused_matches_dense_impl(self, monkeypatch):
+        # let the Pallas pool run at test-sized widths (production gates
+        # it on wp >= 128 — models/folded._pallas_min_wp)
+        monkeypatch.setenv("IMGSEG_PALLAS_MIN_WP", "1")
         from image_segmentation_tpu.models.blocks import ConvBlockDownsample
 
         x = jax.random.normal(jax.random.PRNGKey(7), (2, 16, 16, 8), jnp.float32)
@@ -312,7 +315,8 @@ class TestFoldedConvTransposePallas:
                 rtol=1e-4, atol=1e-4, err_msg=name,
             )
 
-    def test_upsample_skip_fused_matches_dense_impl(self):
+    def test_upsample_skip_fused_matches_dense_impl(self, monkeypatch):
+        monkeypatch.setenv("IMGSEG_PALLAS_MIN_WP", "1")
         f, ci, co = 4, 16, 8
         x = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 16, ci), jnp.float32)
         skip4 = jax.random.normal(
