@@ -75,29 +75,20 @@ def main():
             trainer.state, loss = trainer._train_step(trainer.state, images, masks, key)
         jax.block_until_ready(loss)
 
-    # Parse the op profile from the trace.
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rttd
-    run_dir = glob.glob(os.path.join(args.logdir, "plugins/profile/*"))[0]
-    xspace = glob.glob(os.path.join(run_dir, "*.xplane.pb"))
-    data, _ = rttd.xspace_to_tool_data(xspace, "op_profile", {})
-    prof = json.loads(data)
-
-    def walk(node, depth=0, out=None):
-        m = node.get("metrics", {})
-        out.append((m.get("rawTime", 0), node.get("name", "?"), m.get("flops", 0), depth))
-        for c in node.get("children", []):
-            walk(c, depth + 1, out)
-        return out
-
-    root = prof.get("byProgram") or prof.get("byCategory")
-    rows = walk(root, 0, [])
-    total = rows[0][0] or 1
-    # leaf ops only (no children aggregation double count): take depth>=2 entries
-    leaves = [r for r in rows if r[3] >= 3]
-    leaves.sort(reverse=True)
-    print(f"\n{'time%':>6} {'ms/step':>8}  op")
-    for t, name, flops, _ in leaves[:25]:
-        print(f"{100*t/total:6.2f} {t/1e9/args.steps*1e3:8.2f}  {name[:110]}")
+    # Parse the op profile straight from the xplane.pb (the
+    # tensorboard_plugin_profile converter is broken on this toolchain:
+    # _pywrap_profiler has no xspace_to_tools_data).  Needs
+    # PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python for the proto import.
+    from tools.parse_profile import op_table
+    agg, info = op_table(args.logdir, args.steps)
+    total = sum(agg.values()) or 1
+    print(f"\ntotal device op time: {total/1e12/args.steps*1e3:.1f} ms/step")
+    print(f"{'time%':>6} {'ms/step':>8}  op")
+    for name, t in agg.most_common(25):
+        st = info[name]
+        desc = str(st.get("long_name") or st.get("tf_op") or "")
+        print(f"{100*t/total:6.2f} {t/1e12/args.steps*1e3:8.2f}  "
+              f"{name[:40]:42s} {desc[:90]}")
 
 
 if __name__ == "__main__":
