@@ -36,14 +36,21 @@ from .blocks import BN_EPS, BN_MOMENTUM
 FOLD = 4  # 4 * 32 channels == the 128-lane register width
 
 
-def _pallas_min_wp() -> int:
+def _pallas_min_wp(kind: str = "") -> int:
     """Folded-width threshold below which the Pallas pool / ConvTranspose
-    kernels lose to XLA (sublane underfill at wp=64 tiles; ClipUnet@256
-    measured 412 -> 380 img/s ungated).  Env-overridable so the CPU test
-    suite can exercise the kernels at tiny shapes."""
+    kernels fall back to XLA.  Round-2 measured both together as a LOSS at
+    wp=64 (412 -> 380 img/s) and gated them at 128; after the whole-block
+    custom VJP rework the round-3 A/B (ClipUnet@256 batch 32, each gate
+    individually) flipped: pool 429.8 -> 480.0, ConvTranspose -> 446.5,
+    both -> 504.4 img/s, so the default is now 64.  Env-overridable
+    globally (``IMGSEG_PALLAS_MIN_WP`` — the CPU suite sets 1 to exercise
+    kernels at tiny shapes) and per-kernel (``..._POOL`` / ``..._CT``)."""
     import os
 
-    return int(os.environ.get("IMGSEG_PALLAS_MIN_WP", "128"))
+    base = os.environ.get("IMGSEG_PALLAS_MIN_WP", "64")
+    if kind:
+        return int(os.environ.get(f"IMGSEG_PALLAS_MIN_WP_{kind}", base))
+    return int(base)
 
 
 def w2d(x: jax.Array, f: int = FOLD) -> jax.Array:
@@ -496,10 +503,10 @@ class FoldedConvTranspose2x2(nn.Module):
         else:
             b, hin, win, _ = x.shape
             xf = x.astype(self.dtype).reshape(b, hin, win // m, m * cin)
-        if self.impl == "pallas_fused" and xf.shape[2] >= _pallas_min_wp():
+        if self.impl == "pallas_fused" and xf.shape[2] >= _pallas_min_wp("CT"):
             # Pallas kernel: same matmul, but the dy row interleave stays
-            # in VMEM instead of XLA's transpose+copy through HBM.  Gated
-            # on wp >= 128 like the Pallas pool (sublane underfill below).
+            # in VMEM instead of XLA's transpose+copy through HBM.
+            # (ClipUnet@256 A/B: 429.8 -> 446.5 img/s at wp=64.)
             from ..ops.pallas_conv import make_folded_convtranspose2x2
 
             interp = jax.default_backend() not in ("tpu", "axon")
@@ -562,13 +569,11 @@ class FoldedConvBlockDownsample(nn.Module):
             self.in_features, self.features, self.fold, self.dtype,
             impl=self.impl, name="conv_block",
         )(x4, train=train)
-        if self.impl == "pallas_fused" and h.shape[2] >= _pallas_min_wp():
+        if self.impl == "pallas_fused" and h.shape[2] >= _pallas_min_wp("POOL"):
             # Pallas pool: identical values; its hand-written backward
             # replaces XLA's select/pad/interleave chain (~9 ms/step at
-            # 512^2 batch 16 — round-3 XProf, folded.py:441-442 fusions).
-            # Gated on wp >= 128: at wp=64 (e.g. 256^2 inputs) the tiles
-            # underfill the sublane dimension and the kernel LOSES to XLA
-            # (ClipUnet@256 412 -> 380 img/s measured).
+            # 512^2 batch 16 — round-3 XProf, folded.py:441-442 fusions;
+            # ClipUnet@256 A/B at wp=64: 429.8 -> 480.0 img/s).
             from ..ops.pallas_conv import make_folded_pool
 
             interp = jax.default_backend() not in ("tpu", "axon")

@@ -46,12 +46,17 @@ tests/test_pallas_conv.py against lax.conv_general_dilated.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+# A/B hook: contract the three per-dy matmuls as ONE K=3*kdim dot
+# (read at kernel-build time; see _conv_kernel_body).
+_FATDOT = os.environ.get("IMGSEG_PALLAS_FATDOT", "0") == "1"
 
 
 def _halo_matrices(kernel: jax.Array, fold: int, dtype: Any) -> jax.Array:
@@ -275,12 +280,24 @@ def _conv_kernel_body(
     )
     kdim = lanes + 2 * ci
 
-    acc = jnp.zeros((ht * wp, n_out), jnp.float32)
-    for dy in range(3):
-        a = aug[dy : dy + ht].reshape(ht * wp, kdim)
-        acc = acc + jnp.dot(
-            a, w_ref[dy], preferred_element_type=jnp.float32
+    if _FATDOT:
+        # One K=3*kdim contraction instead of three accumulated K=kdim dots:
+        # fewer MXU weight-column reloads on the small-K level-0 shapes.
+        a3 = jnp.concatenate(
+            [aug[dy : dy + ht].reshape(ht * wp, kdim) for dy in range(3)],
+            axis=1,
         )
+        acc = jnp.dot(
+            a3, w_ref[...].reshape(3 * kdim, n_out),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        acc = jnp.zeros((ht * wp, n_out), jnp.float32)
+        for dy in range(3):
+            a = aug[dy : dy + ht].reshape(ht * wp, kdim)
+            acc = acc + jnp.dot(
+                a, w_ref[dy], preferred_element_type=jnp.float32
+            )
     acc = acc + bias_ref[0].astype(jnp.float32)
 
     if post:

@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--logdir", default="/tmp/profile-step")
     ap.add_argument("--no-w2d", action="store_true")
     ap.add_argument("--w2d-impl", default="dense")
+    ap.add_argument("--l1f2", action="store_true",
+                    help="fold level 1 at f/2 (the bench.py default)")
     ap.add_argument("--model", default="large_unet")
     ap.add_argument("--geometry", default="gather")
     args = ap.parse_args()
@@ -38,7 +40,8 @@ def main():
         num_epochs=1,
         model_args=(
             {} if args.no_w2d
-            else {"w2d_level0": True, "w2d_impl": args.w2d_impl}
+            else {"w2d_level0": True, "w2d_impl": args.w2d_impl,
+                  **({"w2d_level1_fold2": True} if args.l1f2 else {})}
         ),
         data=DataConfig(
             dataset="synthetic", synthetic_length=args.batch,
