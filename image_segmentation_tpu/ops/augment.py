@@ -128,6 +128,18 @@ def _rotate_two_pass(stacked: jax.Array, angles_deg: jax.Array) -> jax.Array:
     return jnp.where(valid2[..., None], out, jnp.zeros((), stacked.dtype))
 
 
+def _use_pallas_roll() -> bool:
+    """Whether the uint8 shear rolls run as Pallas VMEM kernels.
+
+    Off by default until the kernels are A/B-verified on silicon
+    (``tests/test_real_tpu_kernels.py::test_pallas_roll_native``);
+    ``IMGSEG_PALLAS_ROLL=0/1`` forces either — 1 on CPU runs the kernels
+    in interpret mode, used by the equivalence tests."""
+    import os
+
+    return os.environ.get("IMGSEG_PALLAS_ROLL") == "1"
+
+
 def _row_shift(x: jax.Array, shifts: jax.Array, max_shift: int) -> jax.Array:
     """out[n, i, j] = x[n, i, j - shifts[n, i]], zero fill.
 
@@ -192,9 +204,26 @@ def _rotate_shear3(stacked: jax.Array, angles_deg: jax.Array) -> jax.Array:
     # out[j] = in[j - s], so s = -round(a*(y - cy)) etc.
     sx = -jnp.round(a[:, None] * (rows - cy)).astype(jnp.int32)
     sy = -jnp.round(b[:, None] * (cols - cx)).astype(jnp.int32)
+
+    if stacked.dtype == jnp.uint8 and c == 4 and _use_pallas_roll():
+        # Pallas path: pack the 4 uint8 channels into one i32 pixel and run
+        # the three binary-decomposed shear rolls INSIDE VMEM (one HBM
+        # read+write per shear instead of log2(W) roll/select passes, and
+        # no transposes around the Y shear).  Bit-identical to the XLA
+        # path below (tests/test_pallas_roll.py).
+        from .pallas_roll import (
+            pack_u8x4, pallas_col_shift, pallas_row_shift, unpack_u8x4,
+        )
+
+        interp = jax.default_backend() not in ("tpu", "axon")
+        packed = pack_u8x4(base)
+        out = pallas_row_shift(packed, sx, interpret=interp)
+        out = pallas_col_shift(out, sy, interpret=interp)
+        out = pallas_row_shift(out, sx, interpret=interp)
+        return unpack_u8x4(out)
+
     mx = int(np.ceil(np.tan(np.pi / 8) * max(h, w) / 2)) + 2
     my = int(np.ceil(np.sin(np.pi / 4) * max(h, w) / 2)) + 2
-
     out = _row_shift(base, sx, mx)                       # ShearX(a)
     out = jnp.swapaxes(_row_shift(jnp.swapaxes(out, 1, 2), sy, my), 1, 2)
     return _row_shift(out, sx, mx)                       # ShearX(a)

@@ -121,6 +121,34 @@ def test_pallas_preprocess_native(tpu_backend):
 
 
 @requires_real_tpu
+def test_pallas_roll_native(tpu_backend):
+    """Native compile of the shear-roll shift kernels (ops/pallas_roll.py)
+    at the production 512^2 shape, vs the XLA bit-rolled formulation."""
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.ops import augment as A
+    from image_segmentation_tpu.ops.pallas_roll import (
+        pack_u8x4, pallas_col_shift, pallas_row_shift, unpack_u8x4,
+    )
+
+    rng = np.random.default_rng(4)
+    n, h, w = 4, 512, 512
+    x = jnp.asarray(rng.integers(0, 256, (n, h, w, 4), dtype=np.uint8))
+    m = 128
+    sr = jnp.asarray(rng.integers(-m, m + 1, (n, h)), jnp.int32)
+    sc = jnp.asarray(rng.integers(-m, m + 1, (n, w)), jnp.int32)
+
+    out = unpack_u8x4(pallas_row_shift(pack_u8x4(x), sr, interpret=False))
+    ref = A._row_shift(x, sr, m)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    out = unpack_u8x4(pallas_col_shift(pack_u8x4(x), sc, interpret=False))
+    xt = jnp.swapaxes(x, 1, 2)
+    ref = jnp.swapaxes(A._row_shift(xt, sc, m), 1, 2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@requires_real_tpu
 def test_folded_block_vjp_native(tpu_backend):
     """Native compile of the whole-block custom VJP (make_folded_block):
     forward values AND all parameter gradients vs the dense folded impl."""
