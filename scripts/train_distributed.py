@@ -26,12 +26,24 @@ def main() -> None:
                     help="tensor-parallel shards (the reference is DP-only)")
     ap.add_argument("--multihost", action="store_true",
                     help="call jax.distributed.initialize() for multi-host")
+    # The torchrun-args form (reference train_distributed.py:13-20 reads
+    # RANK/WORLD_SIZE/MASTER_ADDR from the torchrun env; here they are
+    # explicit flags, one process launched per host, no launcher needed).
+    ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                    help="rendezvous address (implies --multihost)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args, extra = ap.parse_known_args()
 
-    if args.multihost:
+    if args.multihost or args.coordinator:
         from image_segmentation_tpu.parallel.mesh import distributed_init
 
-        distributed_init(force=True)
+        distributed_init(
+            force=True,
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     from image_segmentation_tpu.config import preset
     from image_segmentation_tpu.engine.train import Trainer
