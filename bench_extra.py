@@ -9,8 +9,13 @@ coverage of the other production configs):
   - robustness_sweep_wallclock: the full integer-space 8x10 perturbation
     battery (robustness_evaluation.py:27-133 equivalent) over a LargeUNet
     at 512^2, synthetic test split, including all per-sweep compiles.
+  - prompt_256_train: ClipUnetPrompt train step (BASELINE config 4's
+    prompt path: on-device prompt sampling + Gaussian heatmaps +
+    hybrid-binary loss; reference prompt_train.py).
+  - autoencoder_256_train: convolutional-autoencoder MSE reconstruction
+    step (BASELINE config 2; reference train_autoencoder.py:67-104).
 
-Usage: python bench_extra.py [clip|sweep ...]  (default: all)
+Usage: python bench_extra.py [clip|sweep|prompt|autoencoder ...]  (default: all)
 """
 
 from __future__ import annotations
@@ -21,12 +26,9 @@ import time
 
 
 def bench_clip_unet():
-    import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from image_segmentation_tpu.config import DataConfig, TrainConfig
-    from image_segmentation_tpu.engine.train import Trainer
 
     batch, size = 32, 256
     cfg = TrainConfig(
@@ -39,46 +41,112 @@ def bench_clip_unet():
             augmentations_per_datapoint=4,
         ),
     )
+    rng = np.random.default_rng(0)
+    masks = rng.integers(0, 3, (batch, size, size)).astype(np.uint8)
+    _bench_train_step("clip_unet_256_train_images_per_sec_per_chip",
+                      cfg, masks)
+
+
+def _bench_train_step(metric, cfg, masks, steps=20):
+    """Shared warm-up + chained-timing loop (bench.py methodology: the
+    state threads through every step, so the axon runtime cannot elide or
+    cache the dispatches — see PERFORMANCE.md measurement caveat).
+
+    Compiles ONCE via the AOT path (lower().compile()) and runs the timing
+    loop on the compiled executable, so reading cost_analysis() does not
+    pay a second end-to-end XLA compile."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from image_segmentation_tpu.engine.train import Trainer
+
+    batch = cfg.batch_size
+    size = cfg.data.image_size
     trainer = Trainer(cfg, make_artifacts=False)
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8)
     )
-    masks = jnp.asarray(rng.integers(0, 3, (batch, size, size)).astype(np.uint8))
+    masks = jnp.asarray(masks)
     key = jax.random.PRNGKey(0)
 
+    compiled = trainer._train_step.lower(
+        trainer.state, images, masks, key
+    ).compile()
+
     for _ in range(3):
-        trainer.state, loss = trainer._train_step(trainer.state, images, masks, key)
+        trainer.state, loss = compiled(trainer.state, images, masks, key)
     jax.block_until_ready(loss)
 
-    steps = 20
     t0 = time.perf_counter()
     for _ in range(steps):
-        trainer.state, loss = trainer._train_step(trainer.state, images, masks, key)
+        trainer.state, loss = compiled(trainer.state, images, masks, key)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
-    # Step MFU from the compiler's own FLOP count (XLA cost analysis of the
-    # jitted step) against the v5e bf16 peak.
     V5E_BF16_PEAK = 197e12
     try:
-        cost = (
-            trainer._train_step.lower(trainer.state, images, masks, key)
-            .compile()
-            .cost_analysis()
-        )
-        flops = float(cost.get("flops", 0.0))
+        flops = float(compiled.cost_analysis().get("flops", 0.0))
     except Exception:
         flops = 0.0
     mfu = flops / (dt / steps) / V5E_BF16_PEAK if flops else None
     print(json.dumps({
-        "metric": "clip_unet_256_train_images_per_sec_per_chip",
+        "metric": metric,
         "value": round(steps * batch / dt, 2),
         "unit": "images/sec/chip",
         "mfu_pct": round(100 * mfu, 1) if mfu else None,
         "step_tflop": round(flops / 1e12, 2) if flops else None,
         "config": {"batch": batch, "size": size},
     }), flush=True)
+
+
+def bench_prompt():
+    import numpy as np
+
+    from image_segmentation_tpu.config import DataConfig, TrainConfig
+    from image_segmentation_tpu.data import records
+
+    batch, size = 32, 256
+    # NOTE: ClipUnetPrompt's trunk has no folded (w2d_*) variant — it runs
+    # the standard XLA blocks.
+    cfg = TrainConfig(
+        model="clip_unet_prompt", loss="hybrid_binary",
+        batch_size=batch, num_epochs=1,
+        data=DataConfig(
+            dataset="synthetic", synthetic_length=batch, image_size=size,
+            augmentations_per_datapoint=4,
+        ),
+    )
+    # The prompt task consumes RAW palette masks (prompt + binary label are
+    # derived on device inside the step, data/prompts.py).
+    rng = np.random.default_rng(1)
+    palette = np.array(
+        [0, records.CAT_PALETTE, records.DOG_PALETTE, records.UNCERTAIN_PALETTE],
+        dtype=np.uint8,
+    )
+    masks = palette[rng.integers(0, 4, (batch, size, size))]
+    _bench_train_step("clip_unet_prompt_256_train_images_per_sec_per_chip",
+                      cfg, masks)
+
+
+def bench_autoencoder():
+    import numpy as np
+
+    from image_segmentation_tpu.config import DataConfig, TrainConfig
+
+    batch, size = 32, 256
+    cfg = TrainConfig(
+        model="autoencoder", loss="mse", batch_size=batch, num_epochs=1,
+        data=DataConfig(
+            dataset="synthetic", synthetic_length=batch, image_size=size,
+            augmentations_per_datapoint=0,
+        ),
+    )
+    rng = np.random.default_rng(2)
+    masks = rng.integers(0, 3, (batch, size, size)).astype(np.uint8)
+    _bench_train_step("autoencoder_256_train_images_per_sec_per_chip",
+                      cfg, masks)
 
 
 def bench_sweep():
@@ -137,8 +205,12 @@ def bench_sweep():
 
 
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["clip", "sweep"]
+    which = sys.argv[1:] or ["clip", "prompt", "autoencoder", "sweep"]
     if "clip" in which:
         bench_clip_unet()
+    if "prompt" in which:
+        bench_prompt()
+    if "autoencoder" in which:
+        bench_autoencoder()
     if "sweep" in which:
         bench_sweep()

@@ -1308,9 +1308,14 @@ def make_folded_block(
         S2 = S2l.reshape(f, co).sum(0)
         Q2 = Q2l.reshape(f, co).sum(0)
         a2, b2, mean2, var2 = bn_scalars(S2, Q2, scale2, bias2, n)
-        z = jnp.maximum(
-            y2 * jnp.tile(a2, f).astype(dt) + jnp.tile(b2, f).astype(dt), 0
-        )
+        # dt-rounded scalars, f32 affine: the SAME computation the backward
+        # mask kernels use (_bnred_kernel_body / _gfold_transform), so the
+        # forward activation and the backward ReLU gating agree bit-for-bit
+        # at borderline positions in bf16 too (layer 1 already works this
+        # way via ab1 + the in-kernel f32 act()).
+        a2f = jnp.tile(a2, f).astype(dt).astype(jnp.float32)
+        b2f = jnp.tile(b2, f).astype(dt).astype(jnp.float32)
+        z = jnp.maximum(y2.astype(jnp.float32) * a2f + b2f, 0.0).astype(dt)
         out = (z, mean1, var1, mean2, var2)
         res = (
             x4, y1, y2, k1, k2, S1, Q1, S2, Q2,
@@ -1338,9 +1343,10 @@ def make_folded_block(
 
         # bn2 affine-relu backward reductions: one Pallas reduction pass
         # over (dz, y2) instead of XLA's full-tensor select + reduce.
-        a2l = jnp.tile(a2, f)
-        b2l = jnp.tile(b2, f)
-        ab2 = jnp.stack([a2l, b2l]).astype(jnp.float32)
+        # dt-rounded scalars to match the forward's activation mask exactly.
+        a2l = jnp.tile(a2, f).astype(dt).astype(jnp.float32)
+        b2l = jnp.tile(b2, f).astype(dt).astype(jnp.float32)
+        ab2 = jnp.stack([a2l, b2l])
         da2_l, db2_l = _bn_relu_bwd_reduce_pallas(
             dz, y2, ab2, h_tile=h_tile, interpret=interpret
         )

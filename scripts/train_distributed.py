@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--process-id", type=int, default=None)
     args, extra = ap.parse_known_args()
 
+    if args.coordinator and (
+        args.num_processes is None or args.process_id is None
+    ):
+        ap.error("--coordinator requires --num-processes and --process-id")
+
     if args.multihost or args.coordinator:
         from image_segmentation_tpu.parallel.mesh import distributed_init
 

@@ -155,6 +155,35 @@ class TestFoldedConvBlockFused:
                 err_msg=jax.tree_util.keystr(k),
             )
 
+    def test_bf16_relu_gating_consistent_fwd_bwd(self):
+        """In bf16 the whole-block VJP's backward ReLU mask must agree with
+        the forward activation's zeros: perturbing the cotangent ONLY at
+        out==0 positions must leave every input/param gradient unchanged
+        (regression: the backward once used unrounded f32 bn2 scalars while
+        the forward rounded them to bf16, leaking gradient at borderline
+        activations)."""
+        _, x, variables = self._mk()
+        x4 = w2d(x).astype(jnp.bfloat16)
+        m = folded.FoldedConvBlock(8, 16, dtype=jnp.bfloat16, impl="pallas_fused")
+
+        def fwd(p, xx):
+            out, _ = m.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                xx, train=True, mutable=["batch_stats"],
+            )
+            return out
+
+        out, vjp_fn = jax.vjp(fwd, variables["params"], x4)
+        clamped = np.asarray(out == 0)
+        assert clamped.any() and (~clamped).any()
+
+        g1 = jax.random.normal(jax.random.PRNGKey(9), out.shape, jnp.bfloat16)
+        g2 = jnp.where(jnp.asarray(clamped), g1 + 7.0, g1)
+        grads1 = vjp_fn(g1)
+        grads2 = vjp_fn(g2)
+        for a, b in zip(jax.tree.leaves(grads1), jax.tree.leaves(grads2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_train_values_with_concat_perm(self):
         """dec-style block: plain concat layout absorbed via in_perm."""
         key = jax.random.PRNGKey(4)
@@ -229,8 +258,8 @@ class TestFoldedPoolPallas:
         )
 
     def test_downsample_fused_matches_dense_impl(self, monkeypatch):
-        # let the Pallas pool run at test-sized widths (production gates
-        # it on wp >= 128 — models/folded._pallas_min_wp)
+        # let the Pallas pool run at test-sized widths (the production
+        # default gate is wp >= 64 — models/folded._pallas_min_wp)
         monkeypatch.setenv("IMGSEG_PALLAS_MIN_WP", "1")
         from image_segmentation_tpu.models.blocks import ConvBlockDownsample
 
