@@ -16,6 +16,9 @@ import sys
 PROCESS_ID = int(sys.argv[1])
 NUM_PROCESSES = int(sys.argv[2])
 PORT = sys.argv[3]
+# "python" (BatchPipeline) or "native" (C++ NativeBatchPipeline — the
+# multi-host form of the runtime/loader.cpp path).
+LOADER = sys.argv[4] if len(sys.argv) > 4 else "python"
 LOCAL_DEVICES = 4
 
 # Must precede any jax import; override the parent pytest's 8-device flag.
@@ -57,6 +60,7 @@ cfg = TrainConfig(
     batch_size=GLOBAL_BATCH,
     num_epochs=1,
     n_model_shards=N_MODEL,
+    native_loader=(LOADER == "native"),
     data=DataConfig(
         dataset="synthetic",
         synthetic_length=GLOBAL_BATCH,
@@ -64,9 +68,16 @@ cfg = TrainConfig(
         augmentations_per_datapoint=1,
     ),
 )
+if LOADER == "native":
+    from image_segmentation_tpu.data import native_loader
+
+    assert native_loader.native_loader_available(), "C++ loader must build"
 trainer = Trainer(cfg, mesh=mesh, make_artifacts=False)
 
 train_pipe, _ = trainer._pipelines()
+if LOADER == "native":
+    # No silent fallback: the C++ loader must actually be driving.
+    assert type(train_pipe).__name__ == "NativeBatchPipeline", type(train_pipe)
 images, masks = next(iter(train_pipe.epoch(0)))
 
 # The batch is ONE GLOBAL array: global shape, sharded over all devices,
@@ -95,6 +106,7 @@ print(
     json.dumps(
         {
             "process_id": PROCESS_ID,
+            "loader": LOADER,
             "loss": loss_value,
             "global_shape": list(images.shape),
             "n_devices": N_DEV,

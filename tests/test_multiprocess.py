@@ -31,7 +31,13 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_global_train_step():
+@pytest.mark.parametrize("loader", ["python", "native"])
+def test_two_process_global_train_step(loader):
+    if loader == "native":
+        from image_segmentation_tpu.data import native_loader
+
+        if not native_loader.native_loader_available():
+            pytest.skip("C++ native loader did not build on this host")
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -40,7 +46,7 @@ def test_two_process_global_train_step():
     env.pop("XLA_FLAGS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, _CHILD, str(pid), "2", str(port)],
+            [sys.executable, _CHILD, str(pid), "2", str(port), loader],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             env=env,
