@@ -14,8 +14,12 @@ coverage of the other production configs):
     hybrid-binary loss; reference prompt_train.py).
   - autoencoder_256_train: convolutional-autoencoder MSE reconstruction
     step (BASELINE config 2; reference train_autoencoder.py:67-104).
+  - infer: serving-path eval forward at 512^2 (batch-16 throughput +
+    batch-1 latency; the huggingface-models inference.py equivalent,
+    engine/export.py predict path).
 
-Usage: python bench_extra.py [clip|sweep|prompt|autoencoder ...]  (default: all)
+Usage: python bench_extra.py [clip|sweep|prompt|autoencoder|infer ...]
+(default: all)
 """
 
 from __future__ import annotations
@@ -149,6 +153,65 @@ def bench_autoencoder():
                       cfg, masks)
 
 
+def bench_infer(size=512, steps=20, model_args=None):
+    """Serving-path benchmark: eval-mode forward (the engine/export.py
+    predict path) on LargeUNet@512 — batch-16 throughput and batch-1
+    latency.  N iterations are CHAINED inside ONE jit with a
+    logits-dependent uint8 perturbation of the input, so the axon
+    runtime can neither cache byte-identical dispatches nor elide
+    un-consumed ones (PERFORMANCE.md measurement caveat)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from image_segmentation_tpu.config import DataConfig, TrainConfig
+    from image_segmentation_tpu.engine.train import Trainer
+    from image_segmentation_tpu.ops.augment import normalize_image
+    cfg = TrainConfig(
+        model="large_unet", batch_size=16, num_epochs=1,
+        model_args=model_args if model_args is not None else {
+            "w2d_level0": True, "w2d_impl": "pallas_fused",
+            "w2d_level1_fold2": True,
+        },
+        data=DataConfig(dataset="synthetic", synthetic_length=16,
+                        image_size=size, augmentations_per_datapoint=0),
+    )
+    trainer = Trainer(cfg, make_artifacts=False)
+    variables = {"params": trainer.state["params"],
+                 "batch_stats": trainer.state["batch_stats"]}
+    model = trainer.model
+
+    @jax.jit
+    def chain(images_u8):
+        def body(_, img):
+            logits = model.apply(variables, normalize_image(img), train=False)
+            bump = (jnp.sum(logits).astype(jnp.int32) & 1).astype(jnp.uint8)
+            return img ^ bump  # full-logits dependency; input varies per iter
+
+        return lax.fori_loop(0, steps, body, images_u8)
+
+    rng = np.random.default_rng(0)
+    for batch, metric, report_latency in (
+        (16, f"large_unet_{size}_infer_images_per_sec_per_chip", False),
+        (1, f"large_unet_{size}_infer_batch1_latency_ms", True),
+    ):
+        images = jnp.asarray(
+            rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8)
+        )
+        chain(images).block_until_ready()  # compile + warm
+        t0 = time.perf_counter()
+        chain(images).block_until_ready()
+        dt = time.perf_counter() - t0
+        value = (1e3 * dt / steps) if report_latency else steps * batch / dt
+        print(json.dumps({
+            "metric": metric,
+            "value": round(value, 2),
+            "unit": "ms" if report_latency else "images/sec/chip",
+            "config": {"batch": batch, "size": size, "chained_steps": steps},
+        }), flush=True)
+
+
 def bench_sweep():
     import jax
     import numpy as np
@@ -205,12 +268,14 @@ def bench_sweep():
 
 
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["clip", "prompt", "autoencoder", "sweep"]
+    which = sys.argv[1:] or ["clip", "prompt", "autoencoder", "infer", "sweep"]
     if "clip" in which:
         bench_clip_unet()
     if "prompt" in which:
         bench_prompt()
     if "autoencoder" in which:
         bench_autoencoder()
+    if "infer" in which:
+        bench_infer()
     if "sweep" in which:
         bench_sweep()
