@@ -185,8 +185,10 @@ class CrossAttentionFusion(nn.Module):
 
         ctx = context.astype(self.dtype)
         if s == 1:
-            # Softmax over one key == 1: output is query-independent.
-            # q_proj/k_proj still exist as params (zero grads, torch parity).
+            # Softmax over one key == 1: output is query-independent.  NB
+            # q_proj/k_proj are never CALLED here, so under nn.compact their
+            # params do not materialize (their values cannot affect the
+            # output; utils/torch_export.mha_to_torch zero-fills them).
             fused = out_proj(v_proj(ctx))  # (B, 1, D)
             return jnp.broadcast_to(fused[:, None, :, :], (b, h, w, c)).reshape(
                 b, h, w, c
