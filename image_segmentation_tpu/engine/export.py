@@ -43,8 +43,15 @@ def export_model(
     model_name: str,
     model_args: Optional[Dict[str, Any]] = None,
     out_dir: str = "exported-model",
+    torch_format: bool = False,
 ) -> str:
-    """Write an inference artifact directory from a train state."""
+    """Write an inference artifact directory from a train state.
+
+    With ``torch_format`` (supported for unet/large_unet/clip_unet), also
+    writes ``model_torch.pt`` — a torch state dict in the REFERENCE's key
+    layout (utils/torch_export.py), matching the model.pt the reference's
+    huggingface-models bundle ships, so reference/torch users can consume
+    the artifact directly."""
     os.makedirs(out_dir, exist_ok=True)
     infer_state = {
         "params": state["params"],
@@ -55,6 +62,23 @@ def export_model(
         json.dump({"model": model_name, "model_args": model_args or {}}, f, indent=2)
     with open(os.path.join(out_dir, "README.md"), "w") as f:
         f.write(MODEL_CARD.format(name=model_name, dirname=out_dir))
+    if torch_format:
+        import jax
+        import torch
+
+        from ..utils import torch_export as tx
+
+        if model_name not in tx.EXPORTERS:
+            raise ValueError(
+                f"torch_format supports {sorted(tx.EXPORTERS)}, "
+                f"not {model_name!r}"
+            )
+        host = jax.device_get(infer_state)
+        sd = tx.EXPORTERS[model_name](host["params"], host["batch_stats"])
+        torch.save(
+            {k: torch.from_numpy(v.copy()) for k, v in sd.items()},
+            os.path.join(out_dir, "model_torch.pt"),
+        )
     return out_dir
 
 

@@ -146,6 +146,30 @@ def test_unet_export_loads_strict_and_matches():
     )
 
 
+def test_export_model_torch_format(tmp_path):
+    """engine/export.export_model(torch_format=True) ships model_torch.pt
+    alongside the npz — the reference huggingface-models bundle shape."""
+    from image_segmentation_tpu.engine.export import export_model
+
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    model = UNet(dtype=jnp.float32, stem_features=8, encoder_features=(16, 32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = export_model(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        "unet",
+        model_args={"stem_features": 8, "encoder_features": [16, 32]},
+        out_dir=str(tmp_path / "artifact"),
+        torch_format=True,
+    )
+    sd = torch.load(f"{out}/model_torch.pt")
+    expect = tx.unet_state_dict(variables["params"], variables["batch_stats"])
+    assert set(sd) == set(expect)
+    tm = RefUNet(stem=8, enc=(16, 32))
+    missing, unexpected = tm.load_state_dict(sd, strict=True)
+    assert not missing and not unexpected
+
+
 class RefClipUnet(tnn.Module):
     """reference CLIP_models.py:85-134 layout with a vision-only CLIP twin
     (the text tower the reference never uses is the only absent subtree)."""
