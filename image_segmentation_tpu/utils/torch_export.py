@@ -210,8 +210,69 @@ def clip_unet_state_dict(params: Mapping, batch_stats: Mapping) -> Dict[str, np.
     return sd
 
 
+def resnet34_children_to_torch(
+    prefix: str, p: Mapping, s: Mapping
+) -> Dict[str, np.ndarray]:
+    """models/resnet.ResNet34Features tree -> the reference's
+    ``nn.Sequential(*resnet34.children()[:-2])`` index layout
+    (processing_blocks.py:262-263: 0 conv1, 1 bn1, 4-7 layer1-4)."""
+    from ..models.resnet import RESNET34_LAYERS
+
+    sd = conv_to_torch(f"{prefix}.0", p["conv1"])
+    sd.update(bn_to_torch(f"{prefix}.1", p["bn1"], s["bn1"]))
+    for stage, blocks in enumerate(RESNET34_LAYERS, start=1):
+        for b in range(blocks):
+            name = f"layer{stage}_{b}"
+            base = f"{prefix}.{stage + 3}.{b}"
+            sd.update(conv_to_torch(f"{base}.conv1", p[name]["conv1"]))
+            sd.update(bn_to_torch(f"{base}.bn1", p[name]["bn1"], s[name]["bn1"]))
+            sd.update(conv_to_torch(f"{base}.conv2", p[name]["conv2"]))
+            sd.update(bn_to_torch(f"{base}.bn2", p[name]["bn2"], s[name]["bn2"]))
+            if "downsample_conv" in p[name]:
+                sd.update(conv_to_torch(f"{base}.downsample.0",
+                                        p[name]["downsample_conv"]))
+                sd.update(bn_to_torch(f"{base}.downsample.1",
+                                      p[name]["downsample_bn"],
+                                      s[name]["downsample_bn"]))
+    return sd
+
+
+def clip_res_state_dict(params: Mapping, batch_stats: Mapping) -> Dict[str, np.ndarray]:
+    """models/clip_models.ClipResSegmentationModel tree -> reference
+    ClipResSegmentationModel state dict (CLIP_models.py:8-61; strict=False
+    for the absent CLIP text tower, everything else emitted)."""
+    sd = clip_tower_to_torch("clip_feature_extractor.clip_model",
+                             params["clip_tower"])
+    sd.update(resnet34_children_to_torch("encoder.model",
+                                         params["resnet_backbone"],
+                                         batch_stats["resnet_backbone"]))
+    sd.update(mha_to_torch("cross_attention_fusion.cross_attn",
+                           params["cross_attention_fusion"]))
+    for i in range(1, 6):
+        sd.update(_upsample(f"dec{i}", params[f"dec{i}"], batch_stats[f"dec{i}"]))
+    sd.update(conv_block_to_torch("out", params["out"], batch_stats["out"]))
+    return sd
+
+
+def clip_autoencoder_state_dict(
+    params: Mapping, batch_stats: Mapping
+) -> Dict[str, np.ndarray]:
+    """models/clip_models.ClipAutoencoder tree -> reference ClipAutoencoder
+    state dict (CLIP_models.py:136-191; strict=False for the text tower)."""
+    sd = clip_tower_to_torch("clip_feature_extractor.clip_model",
+                             params["clip_tower"])
+    sd.update(conv_to_torch("input", params["input"]))
+    sd.update(linear_to_torch("coupler", params["coupler"]))
+    for i in range(1, 5):
+        sd.update(_upsample(f"dec{i}", params[f"dec{i}"], batch_stats[f"dec{i}"]))
+    sd.update(conv_to_torch("out", params["out"]))
+    return sd
+
+
 EXPORTERS = {
     "unet": unet_state_dict,
     "large_unet": unet_state_dict,
     "clip_unet": clip_unet_state_dict,
+    "clip_res": clip_res_state_dict,
+    "clip_autoencoder": clip_autoencoder_state_dict,
 }

@@ -18,11 +18,16 @@ import torch.nn.functional as F
 import jax
 import jax.numpy as jnp
 
-from image_segmentation_tpu.models.clip_models import ClipUnet
+from image_segmentation_tpu.models.clip_models import (
+    ClipAutoencoder,
+    ClipResSegmentationModel,
+    ClipUnet,
+)
 from image_segmentation_tpu.models.unet import UNet
 from image_segmentation_tpu.utils import torch_export as tx
 
 from tests.test_clip_unet_parity import CLIP_KW
+from tests.test_resnet import TorchResNet34Features
 
 jax.config.update("jax_default_matmul_precision", "highest")
 
@@ -245,6 +250,152 @@ def test_clip_unet_export_loads_and_matches():
     tm = RefClipUnet(CLIPVisionModelWithProjection(cfg))
     # transformers registers a position_ids buffer the exporter need not
     # supply; everything else must match exactly.
+    missing, unexpected = tm.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    assert not unexpected, unexpected
+    assert all("position_ids" in k for k in missing), missing
+    tm.eval()
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(
+            np.moveaxis(np.asarray(x), -1, 1).copy()
+        )).numpy()
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(ref_out), -1, 1), t_out, rtol=2e-3, atol=2e-3
+    )
+
+
+class RefUpsample(tnn.Module):
+    """reference ConvBlockUpsample (processing_blocks.py:111-133)."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.up = tnn.ConvTranspose2d(cin, cout, 2, 2)
+        self.conv = RefConvBlock(cout, cout)
+
+    def forward(self, x):
+        return self.conv(self.up(x))
+
+
+def _make_tiny_clip():
+    from transformers import CLIPVisionConfig, CLIPVisionModelWithProjection
+
+    cfg = CLIPVisionConfig(
+        hidden_size=CLIP_KW["hidden"],
+        intermediate_size=CLIP_KW["mlp_dim"],
+        num_hidden_layers=CLIP_KW["layers"],
+        num_attention_heads=CLIP_KW["heads"],
+        image_size=224,
+        patch_size=CLIP_KW["patch"],
+        projection_dim=CLIP_KW["proj_dim"],
+        hidden_act="quick_gelu",
+    )
+    return CLIPVisionModelWithProjection(cfg)
+
+
+class RefClipRes(tnn.Module):
+    """reference ClipResSegmentationModel layout (CLIP_models.py:8-61):
+    the ResNet backbone is Sequential(*resnet34.children()[:-2]) under
+    ``encoder.model``."""
+
+    def __init__(self, clip_model):
+        super().__init__()
+
+        class _Wrap(tnn.Module):
+            def __init__(self, inner):
+                super().__init__()
+                self.model = inner
+
+        class _Clip(tnn.Module):
+            def __init__(self, inner):
+                super().__init__()
+                self.clip_model = inner
+
+        r = TorchResNet34Features()
+        self.clip_feature_extractor = _Clip(clip_model)
+        self.encoder = _Wrap(tnn.Sequential(
+            r.conv1, r.bn1, r.relu, r.maxpool,
+            r.layer1, r.layer2, r.layer3, r.layer4,
+        ))
+        self.cross_attention_fusion = tnn.Module()
+        self.cross_attention_fusion.cross_attn = tnn.MultiheadAttention(512, 4)
+        self.dec1 = RefUpsample(512, 256)
+        self.dec2 = RefUpsample(256, 128)
+        self.dec3 = RefUpsample(128, 64)
+        self.dec4 = RefUpsample(64, 32)
+        self.dec5 = RefUpsample(32, 16)
+        self.out = RefConvBlock(19, 3)
+
+    def forward(self, x):
+        from image_segmentation_tpu.models import clip as clip_lib
+
+        mean = torch.tensor(clip_lib.CLIP_MEAN).view(1, 3, 1, 1)
+        std = torch.tensor(clip_lib.CLIP_STD).view(1, 3, 1, 1)
+        feats = self.clip_feature_extractor.clip_model(
+            pixel_values=(x - mean) / std
+        ).image_embeds
+        res = self.encoder.model(x)
+        q = res.flatten(2).permute(2, 0, 1)
+        kv = feats.unsqueeze(0).expand(q.shape[0], -1, -1)
+        a, _ = self.cross_attention_fusion.cross_attn(q, kv, kv)
+        a = a.permute(1, 2, 0).view_as(res)
+        h = self.dec5(self.dec4(self.dec3(self.dec2(self.dec1(a)))))
+        return self.out(torch.cat([h, x], dim=1))
+
+
+class RefClipAutoencoder(tnn.Module):
+    """reference ClipAutoencoder layout (CLIP_models.py:136-191)."""
+
+    def __init__(self, clip_model):
+        super().__init__()
+
+        class _Clip(tnn.Module):
+            def __init__(self, inner):
+                super().__init__()
+                self.clip_model = inner
+
+        self.clip_feature_extractor = _Clip(clip_model)
+        self.input = tnn.Conv2d(3, 32, 1)
+        self.coupler = tnn.Linear(512, 16384)
+        self.dec1 = RefUpsample(64, 64)
+        self.dec2 = RefUpsample(64, 64)
+        self.dec3 = RefUpsample(64, 32)
+        self.dec4 = RefUpsampleSkip(32, 32)
+        self.out = tnn.Conv2d(32, 3, 1)
+
+    def forward(self, x):
+        from image_segmentation_tpu.models import clip as clip_lib
+
+        mean = torch.tensor(clip_lib.CLIP_MEAN).view(1, 3, 1, 1)
+        std = torch.tensor(clip_lib.CLIP_STD).view(1, 3, 1, 1)
+        feats = self.clip_feature_extractor.clip_model(
+            pixel_values=(x - mean) / std
+        ).image_embeds
+        stem = self.input(x)
+        b = self.coupler(feats).view(-1, 64, 16, 16)
+        h = self.dec3(self.dec2(self.dec1(b)))
+        h = self.dec4(h, stem)
+        return self.out(h)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("which", ["clip_res", "clip_autoencoder"])
+def test_clip_family_export_loads_and_matches(which):
+    x = jnp.asarray(np.random.default_rng(3).random((2, 224, 224, 3)),
+                    jnp.float32)
+    if which == "clip_res":
+        model = ClipResSegmentationModel(dtype=jnp.float32, clip_kwargs=CLIP_KW)
+        twin_cls = RefClipRes
+    else:
+        model = ClipAutoencoder(dtype=jnp.float32, clip_kwargs=CLIP_KW)
+        twin_cls = RefClipAutoencoder
+    variables = _randomized_variables(model, x, seed=7)
+    ref_out = model.apply(variables, x, train=False)
+
+    sd = tx.EXPORTERS[which](variables["params"], variables["batch_stats"])
+    torch.manual_seed(9)
+    tm = twin_cls(_make_tiny_clip())
     missing, unexpected = tm.load_state_dict(
         {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
         strict=False,
