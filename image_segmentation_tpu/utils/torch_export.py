@@ -269,10 +269,38 @@ def clip_autoencoder_state_dict(
     return sd
 
 
+def clip_unet_prompt_state_dict(
+    params: Mapping, batch_stats: Mapping
+) -> Dict[str, np.ndarray]:
+    """models/clip_models.ClipUnetPrompt tree -> reference ClipUnetPrompt
+    state dict (prompt_segmentation.py:32-95; strict=False for the text
+    tower).  The prompt encoder (prompt_segmentation.py:16-30) exports as
+    ``prompt_encoder.enc{1-3}.block.0.*`` + ``prompt_encoder.conv.conv.*``."""
+    sd = unet_state_dict(
+        {k: v for k, v in params.items()
+         if k not in ("clip_tower", "cross_attention_fusion",
+                      "prompt_encoder", "prompt_fusion")},
+        batch_stats,
+    )
+    sd.update(mha_to_torch("cross_attention_fusion.cross_attn",
+                           params["cross_attention_fusion"]))
+    sd.update(clip_tower_to_torch("clip_feature_extractor.clip_model",
+                                  params["clip_tower"]))
+    pe_p, pe_s = params["prompt_encoder"], batch_stats["prompt_encoder"]
+    for i in range(1, 4):
+        sd.update(_downsample(f"prompt_encoder.enc{i}",
+                              pe_p[f"enc{i}"], pe_s[f"enc{i}"]))
+    sd.update(conv_block_to_torch("prompt_encoder.conv",
+                                  pe_p["conv"], pe_s["conv"]))
+    sd.update(conv_to_torch("prompt_fusion", params["prompt_fusion"]))
+    return sd
+
+
 EXPORTERS = {
     "unet": unet_state_dict,
     "large_unet": unet_state_dict,
     "clip_unet": clip_unet_state_dict,
     "clip_res": clip_res_state_dict,
     "clip_autoencoder": clip_autoencoder_state_dict,
+    "clip_unet_prompt": clip_unet_prompt_state_dict,
 }

@@ -101,10 +101,10 @@ class RefUNet(tnn.Module):
         return self.out(h)
 
 
-def _randomized_variables(model, x, seed=0):
+def _randomized_variables(model, *inputs, seed=0):
     """init, then randomize BN running stats so eval parity is non-trivial
     (fresh init is mean=0/var=1, which would mask transpose mistakes)."""
-    variables = model.init(jax.random.PRNGKey(seed), x, train=False)
+    variables = model.init(jax.random.PRNGKey(seed), *inputs, train=False)
     rng = np.random.default_rng(seed)
 
     def fix(tree):
@@ -407,6 +407,107 @@ def test_clip_family_export_loads_and_matches(which):
         t_out = tm(torch.from_numpy(
             np.moveaxis(np.asarray(x), -1, 1).copy()
         )).numpy()
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(ref_out), -1, 1), t_out, rtol=2e-3, atol=2e-3
+    )
+
+
+class RefPromptEncoder(tnn.Module):
+    """reference prompt_segmentation.py:16-30 layout."""
+
+    def __init__(self):
+        super().__init__()
+        self.enc1 = RefDownsample(1, 32)
+        self.enc2 = RefDownsample(32, 64)
+        self.enc3 = RefDownsample(64, 128)
+        self.conv = RefConvBlock(128, 512)
+
+    def forward(self, p):
+        return self.conv(self.enc3(self.enc2(self.enc1(p))))
+
+
+class RefClipUnetPrompt(tnn.Module):
+    """reference prompt_segmentation.py:32-95 layout."""
+
+    def __init__(self, clip_model):
+        super().__init__()
+
+        class _Clip(tnn.Module):
+            def __init__(self, inner):
+                super().__init__()
+                self.clip_model = inner
+
+        self.clip_feature_extractor = _Clip(clip_model)
+        self.cross_attention_fusion = tnn.Module()
+        self.cross_attention_fusion.cross_attn = tnn.MultiheadAttention(512, 1)
+        self.input = tnn.Conv2d(3, 32, 1)
+        self.enc1 = RefDownsample(32, 64)
+        self.enc2 = RefDownsample(64, 128)
+        self.enc3 = RefDownsample(128, 256)
+        self.bottleneck = RefConvBlock(256, 512)
+        self.prompt_encoder = RefPromptEncoder()
+        self.prompt_fusion = tnn.Conv2d(1024, 512, 1)
+        self.dec1 = RefUpsampleSkip(512, 256)
+        self.dec2 = RefUpsampleSkip(256, 128)
+        self.dec3 = RefUpsampleSkip(128, 64)
+        self.dec4 = RefUpsampleSkip(64, 32)
+        self.out = tnn.Conv2d(32, 1, 1)
+
+    def forward(self, x, prompt):
+        from image_segmentation_tpu.models import clip as clip_lib
+
+        mean = torch.tensor(clip_lib.CLIP_MEAN).view(1, 3, 1, 1)
+        std = torch.tensor(clip_lib.CLIP_STD).view(1, 3, 1, 1)
+        feats = self.clip_feature_extractor.clip_model(
+            pixel_values=(x - mean) / std
+        ).image_embeds
+        stem = self.input(x)
+        e1 = self.enc1(stem)
+        e2 = self.enc2(e1)
+        e3 = self.enc3(e2)
+        b = self.bottleneck(e3)
+        pe = self.prompt_encoder(prompt)
+        q = b.flatten(2).permute(2, 0, 1)
+        kv = feats.unsqueeze(0).expand(q.shape[0], -1, -1)
+        a, _ = self.cross_attention_fusion.cross_attn(q, kv, kv)
+        a = a.permute(1, 2, 0).view_as(b)
+        fused = self.prompt_fusion(torch.cat([a, pe], dim=1))
+        h = self.dec1(fused, e3)
+        h = self.dec2(h, e2)
+        h = self.dec3(h, e1)
+        h = self.dec4(h, stem)
+        return self.out(h)
+
+
+@pytest.mark.slow
+def test_clip_unet_prompt_export_loads_and_matches():
+    from image_segmentation_tpu.models.clip_models import ClipUnetPrompt
+
+    x = jnp.asarray(np.random.default_rng(4).random((2, 224, 224, 3)),
+                    jnp.float32)
+    prompt = jnp.asarray(np.random.default_rng(5).random((2, 224, 224, 1)),
+                         jnp.float32)
+    model = ClipUnetPrompt(dtype=jnp.float32, clip_kwargs=CLIP_KW)
+    variables = _randomized_variables(model, x, prompt, seed=8)
+    ref_out = model.apply(variables, x, prompt, train=False)
+
+    sd = tx.clip_unet_prompt_state_dict(
+        variables["params"], variables["batch_stats"]
+    )
+    torch.manual_seed(11)
+    tm = RefClipUnetPrompt(_make_tiny_clip())
+    missing, unexpected = tm.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    assert not unexpected, unexpected
+    assert all("position_ids" in k for k in missing), missing
+    tm.eval()
+    with torch.no_grad():
+        t_out = tm(
+            torch.from_numpy(np.moveaxis(np.asarray(x), -1, 1).copy()),
+            torch.from_numpy(np.moveaxis(np.asarray(prompt), -1, 1).copy()),
+        ).numpy()
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(ref_out), -1, 1), t_out, rtol=2e-3, atol=2e-3
     )
