@@ -1,0 +1,31 @@
+#!/bin/bash
+# Run when the TPU tunnel returns (it went down mid-round-3).  Captures
+# every pending silicon measurement into /tmp/tpu_return/.
+#
+#   bash tools/tpu_return_checklist.sh
+#
+# Then, if the Pallas roll A/B wins: flip the default in
+# ops/augment._use_pallas_roll, update PERFORMANCE.md + CLAUDE.md, rerun
+# bench.py, commit.
+set -u
+cd "$(dirname "$0")/.."
+OUT=/tmp/tpu_return
+mkdir -p "$OUT"
+
+echo "== 1. native Pallas kernel tests (incl. shear-roll + preprocess retry)"
+IMGSEG_TEST_REAL_TPU=1 timeout 1800 python -m pytest \
+    tests/test_real_tpu_kernels.py -v 2>&1 | tee "$OUT/real_tpu_tests.log" | tail -8
+
+echo "== 2. headline A/B: Pallas shear-roll OFF (committed default)"
+timeout 900 python bench.py 2>&1 | tee "$OUT/bench_roll_off.json" | tail -1
+echo "== 3. headline A/B: Pallas shear-roll ON"
+IMGSEG_PALLAS_ROLL=1 timeout 900 python bench.py 2>&1 | tee "$OUT/bench_roll_on.json" | tail -1
+
+echo "== 4. new secondary benchmarks (prompt / autoencoder / serving)"
+timeout 3600 python bench_extra.py prompt autoencoder infer 2>&1 \
+    | tee "$OUT/bench_extra_new.json" | grep '^{'
+
+echo "== 5. ClipUnet@256 refresh (post-ungating table row)"
+timeout 900 python bench_extra.py clip 2>&1 | tee "$OUT/bench_clip.json" | grep '^{'
+
+echo "done -> $OUT"
