@@ -24,7 +24,7 @@ def _run(argv, env_extra=None):
     env.update(env_extra or {})
     r = subprocess.run(
         [sys.executable, "-m"] + argv,
-        capture_output=True, text=True, cwd=_REPO, env=env, timeout=900,
+        capture_output=True, text=True, cwd=_REPO, env=env, timeout=1800,
     )
     assert r.returncode == 0, f"{argv} failed:\n{r.stdout}\n{r.stderr}"
     return r.stdout
