@@ -34,12 +34,20 @@ def bench_clip_unet():
 
     from image_segmentation_tpu.config import DataConfig, TrainConfig
 
+    import os
+
     batch, size = 32, 256
     cfg = TrainConfig(
         model="clip_unet",
         batch_size=batch,
         num_epochs=1,
-        model_args={"w2d_level0": True, "w2d_impl": "pallas_fused"},
+        model_args={
+            "w2d_level0": True, "w2d_impl": "pallas_fused",
+            # A/B hook for the round-3 ClipUnet fold-2 level 1 (committed
+            # default off until the silicon A/B runs).
+            "w2d_level1_fold2":
+                os.environ.get("IMGSEG_BENCH_CLIP_W2D_L1F2", "0") == "1",
+        },
         data=DataConfig(
             dataset="synthetic", synthetic_length=batch, image_size=size,
             augmentations_per_datapoint=4,

@@ -48,6 +48,10 @@ class ClipUnet(nn.Module):
     # exact width-to-depth fast path for the full-resolution level
     # (models/folded.py; shared parameter tree, equivalence tested)
     w2d_level0: bool = False
+    # also fold level 1 at f/2 — the relayout-free chain that lifted the
+    # LargeUNet headline (models/unet.py w2d_level1_fold2); requires
+    # w2d_level0 and fold >= 4
+    w2d_level1_fold2: bool = False
     # folded-conv implementation ("dense" / "halo" / "pallas" /
     # "pallas_fused"), see models/folded.FoldedConv[Block]
     w2d_impl: str = "dense"
@@ -62,16 +66,20 @@ class ClipUnet(nn.Module):
             clip_feats = jax.lax.stop_gradient(clip_feats)
 
         use_fold = self.w2d_level0 and x.shape[2] % (2 * folded.FOLD) == 0
+        fold_l1_2 = (
+            use_fold and self.w2d_level1_fold2 and folded.FOLD >= 4
+        )
         if use_fold:
+            f = folded.FOLD
             b, hh, ww, cin = x.shape
             stem4 = folded.Folded1x1(
-                cin, 32, folded.FOLD, self.dtype, name="input"
-            )(x.reshape(b, hh, ww // folded.FOLD, folded.FOLD * cin))
+                cin, 32, f, self.dtype, name="input"
+            )(x.reshape(b, hh, ww // f, f * cin))
             h4 = folded.FoldedConvBlockDownsample(
-                32, 64, folded.FOLD, self.dtype, impl=self.w2d_impl,
-                name="enc1"
+                32, 64, f, self.dtype, impl=self.w2d_impl, name="enc1"
             )(stem4, train=train)
-            enc1 = folded.d2w(h4, 64, folded.FOLD // 2)  # pool halves the fold
+            enc1_folded = h4  # fold f//2 layout (pool halves the fold)
+            enc1 = None if fold_l1_2 else folded.d2w(h4, 64, f // 2)
         else:
             stem = nn.Conv(
                 32, (1, 1), padding="VALID", dtype=self.dtype, name="input"
@@ -79,7 +87,18 @@ class ClipUnet(nn.Module):
             enc1 = ConvBlockDownsample(64, dtype=self.dtype, name="enc1")(
                 stem, train=train
             )
-        enc2 = ConvBlockDownsample(128, dtype=self.dtype, name="enc2")(enc1, train=train)
+        if fold_l1_2:
+            # enc2 at fold f/2: enc1's pool output IS the canonical fold-f/2
+            # layout, and the fold-f/2 pool output IS the unfolded enc2
+            # result — zero relayouts (models/unet.py w2d_level1_fold2).
+            enc2 = folded.FoldedConvBlockDownsample(
+                64, 128, folded.FOLD // 2, self.dtype, impl=self.w2d_impl,
+                name="enc2"
+            )(enc1_folded, train=train)
+        else:
+            enc2 = ConvBlockDownsample(128, dtype=self.dtype, name="enc2")(
+                enc1, train=train
+            )
         enc3 = ConvBlockDownsample(256, dtype=self.dtype, name="enc3")(enc2, train=train)
         bottleneck = ConvBlock(512, dtype=self.dtype, name="bottleneck")(
             enc3, train=train
@@ -92,11 +111,20 @@ class ClipUnet(nn.Module):
 
         h = ConvBlockUpsampleSkip(256, dtype=self.dtype, name="dec1")(attn, enc3, train=train)
         h = ConvBlockUpsampleSkip(128, dtype=self.dtype, name="dec2")(h, enc2, train=train)
-        h = ConvBlockUpsampleSkip(64, dtype=self.dtype, name="dec3")(h, enc1, train=train)
+        if fold_l1_2:
+            # dec3 at fold f/2: skip is enc1's pool output in its natural
+            # fold-f/2 layout; the block's output feeds dec4's up-conv as
+            # the (W/m, m*C) slot-major view directly (in_folded).
+            h = folded.FoldedConvBlockUpsampleSkip(
+                128, 64, folded.FOLD // 2, self.dtype, impl=self.w2d_impl,
+                name="dec3",
+            )(h, enc1_folded, train=train)
+        else:
+            h = ConvBlockUpsampleSkip(64, dtype=self.dtype, name="dec3")(h, enc1, train=train)
         if use_fold:
             h4 = folded.FoldedConvBlockUpsampleSkip(
                 64, 32, folded.FOLD, self.dtype, impl=self.w2d_impl,
-                name="dec4"
+                in_folded=fold_l1_2, name="dec4"
             )(h, stem4, train=train)
             out4 = folded.Folded1x1(
                 32, self.out_channels, folded.FOLD, self.dtype, name="out"
