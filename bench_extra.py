@@ -25,6 +25,7 @@ Usage: python bench_extra.py [clip|sweep|prompt|autoencoder|infer ...]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -33,8 +34,6 @@ def bench_clip_unet():
     import numpy as np
 
     from image_segmentation_tpu.config import DataConfig, TrainConfig
-
-    import os
 
     batch, size = 32, 256
     cfg = TrainConfig(
@@ -120,11 +119,14 @@ def bench_prompt():
     from image_segmentation_tpu.data import records
 
     batch, size = 32, 256
-    # NOTE: ClipUnetPrompt's trunk has no folded (w2d_*) variant — it runs
-    # the standard XLA blocks.
     cfg = TrainConfig(
         model="clip_unet_prompt", loss="hybrid_binary",
         batch_size=batch, num_epochs=1,
+        model_args={
+            "w2d_level0": True, "w2d_impl": "pallas_fused",
+            "w2d_level1_fold2":
+                os.environ.get("IMGSEG_BENCH_CLIP_W2D_L1F2", "0") == "1",
+        },
         data=DataConfig(
             dataset="synthetic", synthetic_length=batch, image_size=size,
             augmentations_per_datapoint=4,

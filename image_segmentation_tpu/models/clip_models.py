@@ -273,13 +273,40 @@ class PromptEncoder(nn.Module):
 
     out_features: int = 512
     dtype: Any = jnp.bfloat16
+    # width-to-depth fast path for the full-resolution level (the 1-channel
+    # heatmap folds to (B, H, W/f, f) by a plain reshape); shared parameter
+    # tree with the standard path, equivalence tested.
+    w2d_level0: bool = False
+    w2d_level1_fold2: bool = False
+    w2d_impl: str = "dense"
 
     @nn.compact
     def __call__(self, prompt: jax.Array, *, train: bool = False) -> jax.Array:
-        h = ConvBlockDownsample(32, dtype=self.dtype, name="enc1")(
-            prompt.astype(self.dtype), train=train
-        )
-        h = ConvBlockDownsample(64, dtype=self.dtype, name="enc2")(h, train=train)
+        f = folded.FOLD
+        use_fold = self.w2d_level0 and prompt.shape[2] % (2 * f) == 0
+        fold2 = use_fold and self.w2d_level1_fold2 and f >= 4
+        if use_fold:
+            b, hh, ww, c = prompt.shape
+            h4 = folded.FoldedConvBlockDownsample(
+                c, 32, f, self.dtype, impl=self.w2d_impl, name="enc1"
+            )(
+                prompt.astype(self.dtype).reshape(b, hh, ww // f, f * c),
+                train=train,
+            )
+            if fold2:
+                h = folded.FoldedConvBlockDownsample(
+                    32, 64, f // 2, self.dtype, impl=self.w2d_impl,
+                    name="enc2"
+                )(h4, train=train)
+            else:
+                h = ConvBlockDownsample(64, dtype=self.dtype, name="enc2")(
+                    folded.d2w(h4, 32, f // 2), train=train
+                )
+        else:
+            h = ConvBlockDownsample(32, dtype=self.dtype, name="enc1")(
+                prompt.astype(self.dtype), train=train
+            )
+            h = ConvBlockDownsample(64, dtype=self.dtype, name="enc2")(h, train=train)
         h = ConvBlockDownsample(128, dtype=self.dtype, name="enc3")(h, train=train)
         return ConvBlock(self.out_features, dtype=self.dtype, name="conv")(
             h, train=train
@@ -294,6 +321,12 @@ class ClipUnetPrompt(nn.Module):
     dtype: Any = jnp.bfloat16
     freeze_clip: bool = True
     clip_kwargs: Optional[Mapping] = None
+    # width-to-depth fast paths, exactly as in ClipUnet (shared parameter
+    # tree; equivalence tested).  Also folds the PROMPT branch's
+    # full-resolution level (its enc1 is a level-0 conv too).
+    w2d_level0: bool = False
+    w2d_level1_fold2: bool = False
+    w2d_impl: str = "dense"
 
     @nn.compact
     def __call__(
@@ -308,17 +341,42 @@ class ClipUnetPrompt(nn.Module):
         if self.freeze_clip:
             clip_feats = jax.lax.stop_gradient(clip_feats)
 
-        stem = nn.Conv(32, (1, 1), padding="VALID", dtype=self.dtype, name="input")(x)
-        enc1 = ConvBlockDownsample(64, dtype=self.dtype, name="enc1")(stem, train=train)
-        enc2 = ConvBlockDownsample(128, dtype=self.dtype, name="enc2")(enc1, train=train)
+        f = folded.FOLD
+        use_fold = self.w2d_level0 and x.shape[2] % (2 * f) == 0
+        fold_l1_2 = use_fold and self.w2d_level1_fold2 and f >= 4
+        if use_fold:
+            b, hh, ww, cin = x.shape
+            stem4 = folded.Folded1x1(
+                cin, 32, f, self.dtype, name="input"
+            )(x.reshape(b, hh, ww // f, f * cin))
+            h4 = folded.FoldedConvBlockDownsample(
+                32, 64, f, self.dtype, impl=self.w2d_impl, name="enc1"
+            )(stem4, train=train)
+            enc1_folded = h4
+            enc1 = None if fold_l1_2 else folded.d2w(h4, 64, f // 2)
+            if fold_l1_2:
+                enc2 = folded.FoldedConvBlockDownsample(
+                    64, 128, f // 2, self.dtype, impl=self.w2d_impl,
+                    name="enc2"
+                )(enc1_folded, train=train)
+            else:
+                enc2 = ConvBlockDownsample(128, dtype=self.dtype, name="enc2")(
+                    enc1, train=train
+                )
+        else:
+            stem = nn.Conv(32, (1, 1), padding="VALID", dtype=self.dtype, name="input")(x)
+            enc1 = ConvBlockDownsample(64, dtype=self.dtype, name="enc1")(stem, train=train)
+            enc2 = ConvBlockDownsample(128, dtype=self.dtype, name="enc2")(enc1, train=train)
         enc3 = ConvBlockDownsample(256, dtype=self.dtype, name="enc3")(enc2, train=train)
         bottleneck = ConvBlock(512, dtype=self.dtype, name="bottleneck")(
             enc3, train=train
         )
 
-        prompt_emb = PromptEncoder(512, dtype=self.dtype, name="prompt_encoder")(
-            prompt, train=train
-        )
+        prompt_emb = PromptEncoder(
+            512, dtype=self.dtype, w2d_level0=self.w2d_level0,
+            w2d_level1_fold2=self.w2d_level1_fold2, w2d_impl=self.w2d_impl,
+            name="prompt_encoder",
+        )(prompt, train=train)
         attn = CrossAttentionFusion(512, num_heads=1, dtype=self.dtype,
                                     name="cross_attention_fusion")(
             bottleneck, clip_feats
@@ -330,7 +388,21 @@ class ClipUnetPrompt(nn.Module):
 
         h = ConvBlockUpsampleSkip(256, dtype=self.dtype, name="dec1")(fused, enc3, train=train)
         h = ConvBlockUpsampleSkip(128, dtype=self.dtype, name="dec2")(h, enc2, train=train)
-        h = ConvBlockUpsampleSkip(64, dtype=self.dtype, name="dec3")(h, enc1, train=train)
+        if fold_l1_2:
+            h = folded.FoldedConvBlockUpsampleSkip(
+                128, 64, f // 2, self.dtype, impl=self.w2d_impl, name="dec3",
+            )(h, enc1_folded, train=train)
+        else:
+            h = ConvBlockUpsampleSkip(64, dtype=self.dtype, name="dec3")(h, enc1, train=train)
+        if use_fold:
+            h4 = folded.FoldedConvBlockUpsampleSkip(
+                64, 32, f, self.dtype, impl=self.w2d_impl,
+                in_folded=fold_l1_2, name="dec4"
+            )(h, stem4, train=train)
+            out4 = folded.Folded1x1(
+                32, self.out_channels, f, self.dtype, name="out"
+            )(h4)
+            return folded.d2w(out4, self.out_channels, f).astype(jnp.float32)
         h = ConvBlockUpsampleSkip(32, dtype=self.dtype, name="dec4")(h, stem, train=train)
         out = nn.Conv(
             self.out_channels, (1, 1), padding="VALID", dtype=self.dtype, name="out"

@@ -220,6 +220,39 @@ class TestFoldedClipUnetLevel1Fold2:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
 
 
+class TestFoldedClipUnetPrompt:
+    @pytest.mark.parametrize("fold2", [False, True])
+    def test_prompt_model_w2d_matches_standard(self, fold2, monkeypatch):
+        from image_segmentation_tpu.models.clip_models import ClipUnetPrompt
+
+        monkeypatch.setenv("IMGSEG_PALLAS_MIN_WP", "1")
+        kw = dict(
+            dtype=jnp.float32,
+            clip_kwargs=dict(hidden=32, layers=1, heads=2, mlp_dim=64,
+                             patch=32, proj_dim=32),
+        )
+        std = ClipUnetPrompt(**kw)
+        fast = ClipUnetPrompt(w2d_level0=True, w2d_level1_fold2=fold2,
+                              w2d_impl="pallas_fused", **kw)
+        x = rand((2, 32, 32, 3))
+        p = rand((2, 32, 32, 1))
+        variables = std.init(KEY, x, p, train=False)
+        assert jax.tree_util.tree_structure(variables) == (
+            jax.tree_util.tree_structure(fast.init(KEY, x, p, train=False))
+        )
+        ref = std.apply(variables, x, p, train=False)
+        out = fast.apply(variables, x, p, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
+
+        o1, m1 = std.apply(variables, x, p, train=True, mutable=["batch_stats"])
+        o2, m2 = fast.apply(variables, x, p, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), **TOL)
+        for a, b in zip(
+            jax.tree.leaves(m1["batch_stats"]), jax.tree.leaves(m2["batch_stats"])
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
+
+
 class TestFoldedLevel1:
     def test_unet_w2d_levels01_matches_standard(self):
         kw = dict(stem_features=8, encoder_features=(16, 32, 64))
