@@ -152,6 +152,13 @@ def bench_autoencoder():
     batch, size = 32, 256
     cfg = TrainConfig(
         model="autoencoder", loss="mse", batch_size=batch, num_epochs=1,
+        # A/B hook for the round-3 folded autoencoder (exact equivalence
+        # tested; off until the silicon A/B runs).
+        model_args={
+            "w2d_level0":
+                os.environ.get("IMGSEG_BENCH_AE_W2D", "0") == "1",
+            "w2d_impl": "pallas_fused",
+        },
         data=DataConfig(
             dataset="synthetic", synthetic_length=batch, image_size=size,
             augmentations_per_datapoint=0,

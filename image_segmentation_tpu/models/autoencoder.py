@@ -20,17 +20,36 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from . import folded
 from .blocks import ConvBlock, ConvBlockDownsample, ConvBlockUpsample
 
 
 class Encoder(nn.Module):
     dtype: Any = jnp.bfloat16
+    # width-to-depth fast path for the full-resolution level (exact;
+    # shared parameter tree, tests/test_folded.py)
+    w2d_level0: bool = False
+    w2d_impl: str = "dense"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> Dict[str, jax.Array]:
         x = x.astype(self.dtype)
-        x0 = nn.Conv(32, (1, 1), padding="VALID", dtype=self.dtype, name="input")(x)
-        x1 = ConvBlockDownsample(64, dtype=self.dtype, name="enc1")(x0, train=train)
+        f = folded.FOLD
+        if self.w2d_level0 and x.shape[2] % (2 * f) == 0:
+            b, hh, ww, cin = x.shape
+            stem4 = folded.Folded1x1(cin, 32, f, self.dtype, name="input")(
+                x.reshape(b, hh, ww // f, f * cin)
+            )
+            h4 = folded.FoldedConvBlockDownsample(
+                32, 64, f, self.dtype, impl=self.w2d_impl, name="enc1"
+            )(stem4, train=train)
+            # unfolded views for the contract; unused entries are dead code
+            # under jit and cost nothing.
+            x0 = folded.d2w(stem4, 32, f)
+            x1 = folded.d2w(h4, 64, f // 2)
+        else:
+            x0 = nn.Conv(32, (1, 1), padding="VALID", dtype=self.dtype, name="input")(x)
+            x1 = ConvBlockDownsample(64, dtype=self.dtype, name="enc1")(x0, train=train)
         x2 = ConvBlockDownsample(64, dtype=self.dtype, name="enc2")(x1, train=train)
         x3 = ConvBlockDownsample(64, dtype=self.dtype, name="enc3")(x2, train=train)
         bottleneck = ConvBlock(64, dtype=self.dtype, name="bottleneck")(
@@ -48,6 +67,8 @@ class Encoder(nn.Module):
 class Decoder(nn.Module):
     out_channels: int = 3
     dtype: Any = jnp.bfloat16
+    w2d_level0: bool = False
+    w2d_impl: str = "dense"
 
     @nn.compact
     def __call__(self, bottleneck: jax.Array, *, train: bool = False) -> jax.Array:
@@ -55,6 +76,15 @@ class Decoder(nn.Module):
             bottleneck, train=train
         )
         d2 = ConvBlockUpsample(64, dtype=self.dtype, name="dec2")(d1, train=train)
+        f = folded.FOLD
+        if self.w2d_level0 and (2 * d2.shape[2]) % f == 0:
+            d3_4 = folded.FoldedConvBlockUpsample(
+                64, 32, f, self.dtype, impl=self.w2d_impl, name="dec3"
+            )(d2, train=train)
+            out4 = folded.Folded1x1(
+                32, self.out_channels, f, self.dtype, name="out"
+            )(d3_4)
+            return folded.d2w(out4, self.out_channels, f).astype(jnp.float32)
         d3 = ConvBlockUpsample(32, dtype=self.dtype, name="dec3")(d2, train=train)
         out = nn.Conv(
             self.out_channels, (1, 1), padding="VALID", dtype=self.dtype, name="out"
@@ -67,11 +97,17 @@ class Autoencoder(nn.Module):
 
     out_channels: int = 3
     dtype: Any = jnp.bfloat16
+    w2d_level0: bool = False
+    w2d_impl: str = "dense"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
-        feats = Encoder(dtype=self.dtype, name="encoder")(x, train=train)
-        out = Decoder(self.out_channels, dtype=self.dtype, name="decoder")(
-            feats["bottleneck"], train=train
-        )
+        feats = Encoder(
+            dtype=self.dtype, w2d_level0=self.w2d_level0,
+            w2d_impl=self.w2d_impl, name="encoder",
+        )(x, train=train)
+        out = Decoder(
+            self.out_channels, dtype=self.dtype, w2d_level0=self.w2d_level0,
+            w2d_impl=self.w2d_impl, name="decoder",
+        )(feats["bottleneck"], train=train)
         return jax.nn.sigmoid(out)

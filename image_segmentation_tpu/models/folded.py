@@ -583,6 +583,30 @@ class FoldedConvBlockDownsample(nn.Module):
         return folded_max_pool_2x2(h, self.features, self.fold)
 
 
+class FoldedConvBlockUpsample(nn.Module):
+    """Folded ConvTranspose -> folded ConvBlock, no skip; tree ==
+    ConvBlockUpsample (the autoencoder decoder's full-resolution level,
+    reference processing_blocks.py:111-133)."""
+
+    in_features: int
+    features: int
+    fold: int = FOLD
+    dtype: Any = jnp.bfloat16
+    impl: str = "dense"
+    in_folded: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        up4 = FoldedConvTranspose2x2(
+            self.in_features, self.features, self.fold, self.dtype,
+            impl=self.impl, in_folded=self.in_folded, name="up",
+        )(x)
+        return FoldedConvBlock(
+            self.features, self.features, self.fold, self.dtype,
+            impl=self.impl, name="conv_block",
+        )(up4, train=train)
+
+
 class FoldedConvBlockUpsampleSkip(nn.Module):
     """Folded ConvTranspose -> folded concat -> folded ConvBlock; tree ==
     ConvBlockUpsampleSkip.  Only valid when the upsampled map already matches

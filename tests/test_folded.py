@@ -253,6 +253,32 @@ class TestFoldedClipUnetPrompt:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
 
 
+class TestFoldedAutoencoder:
+    @pytest.mark.parametrize("impl", ["dense", "pallas_fused"])
+    def test_autoencoder_w2d_matches_standard(self, impl, monkeypatch):
+        from image_segmentation_tpu.models.autoencoder import Autoencoder
+
+        monkeypatch.setenv("IMGSEG_PALLAS_MIN_WP", "1")
+        std = Autoencoder(dtype=jnp.float32)
+        fast = Autoencoder(dtype=jnp.float32, w2d_level0=True, w2d_impl=impl)
+        x = rand((2, 32, 32, 3))
+        variables = std.init(KEY, x, train=False)
+        assert jax.tree_util.tree_structure(variables) == (
+            jax.tree_util.tree_structure(fast.init(KEY, x, train=False))
+        )
+        ref = std.apply(variables, x, train=False)
+        out = fast.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
+
+        o1, m1 = std.apply(variables, x, train=True, mutable=["batch_stats"])
+        o2, m2 = fast.apply(variables, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), **TOL)
+        for a, b in zip(
+            jax.tree.leaves(m1["batch_stats"]), jax.tree.leaves(m2["batch_stats"])
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
+
+
 class TestFoldedLevel1:
     def test_unet_w2d_levels01_matches_standard(self):
         kw = dict(stem_features=8, encoder_features=(16, 32, 64))

@@ -27,8 +27,11 @@ timeout 3600 python bench_extra.py prompt autoencoder infer 2>&1 \
 
 echo "== 5. ClipUnet@256 refresh (post-ungating table row)"
 timeout 900 python bench_extra.py clip 2>&1 | tee "$OUT/bench_clip.json" | grep '^{'
-echo "== 6. ClipUnet@256 A/B: fold-2 level 1 ON"
-IMGSEG_BENCH_CLIP_W2D_L1F2=1 timeout 900 python bench_extra.py clip 2>&1 \
+echo "== 6. ClipUnet(+Prompt)@256 A/B: fold-2 level 1 ON"
+IMGSEG_BENCH_CLIP_W2D_L1F2=1 timeout 1800 python bench_extra.py clip prompt 2>&1 \
     | tee "$OUT/bench_clip_l1f2.json" | grep '^{'
+echo "== 7. autoencoder A/B: w2d ON"
+IMGSEG_BENCH_AE_W2D=1 timeout 900 python bench_extra.py autoencoder 2>&1 \
+    | tee "$OUT/bench_ae_w2d.json" | grep '^{'
 
 echo "done -> $OUT"
