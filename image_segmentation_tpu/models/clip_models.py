@@ -150,6 +150,10 @@ class ClipResSegmentationModel(nn.Module):
     freeze_clip: bool = True
     freeze_backbone: bool = True
     clip_kwargs: Optional[Mapping] = None
+    # width-to-depth fast path for the decoder's full-resolution level
+    # (dec5 + the 19-channel output ConvBlock; exact, shared tree)
+    w2d_level0: bool = False
+    w2d_impl: str = "dense"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -172,6 +176,20 @@ class ClipResSegmentationModel(nn.Module):
         h = ConvBlockUpsample(128, dtype=self.dtype, name="dec2")(h, train=train)
         h = ConvBlockUpsample(64, dtype=self.dtype, name="dec3")(h, train=train)
         h = ConvBlockUpsample(32, dtype=self.dtype, name="dec4")(h, train=train)
+        f = folded.FOLD
+        if self.w2d_level0 and (2 * h.shape[2]) % f == 0:
+            h4 = folded.FoldedConvBlockUpsample(
+                32, 16, f, self.dtype, impl=self.w2d_impl, name="dec5"
+            )(h, train=train)
+            b, hh, ww, cin = x.shape
+            x4 = x.reshape(b, hh, ww // f, f * cin)
+            h4 = jnp.concatenate([h4, x4.astype(h4.dtype)], axis=-1)
+            out4 = folded.FoldedConvBlock(
+                16 + cin, self.out_channels, f, self.dtype,
+                in_perm=folded.concat_perm(16, cin, f),
+                impl=self.w2d_impl, name="out",
+            )(h4, train=train)
+            return folded.d2w(out4, self.out_channels, f).astype(jnp.float32)
         h = ConvBlockUpsample(16, dtype=self.dtype, name="dec5")(h, train=train)
         h = jnp.concatenate([h, x], axis=-1)  # 16 + 3 = 19 channels
         out = ConvBlock(self.out_channels, dtype=self.dtype, name="out")(

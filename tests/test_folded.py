@@ -253,6 +253,39 @@ class TestFoldedClipUnetPrompt:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
 
 
+class TestFoldedClipRes:
+    @pytest.mark.parametrize("impl", ["dense", "pallas_fused"])
+    def test_clip_res_w2d_matches_standard(self, impl, monkeypatch):
+        from image_segmentation_tpu.models.clip_models import (
+            ClipResSegmentationModel,
+        )
+
+        monkeypatch.setenv("IMGSEG_PALLAS_MIN_WP", "1")
+        kw = dict(
+            dtype=jnp.float32,
+            clip_kwargs=dict(hidden=32, layers=1, heads=2, mlp_dim=64,
+                             patch=32, proj_dim=32),
+        )
+        std = ClipResSegmentationModel(**kw)
+        fast = ClipResSegmentationModel(w2d_level0=True, w2d_impl=impl, **kw)
+        x = rand((2, 32, 32, 3))
+        variables = std.init(KEY, x, train=False)
+        assert jax.tree_util.tree_structure(variables) == (
+            jax.tree_util.tree_structure(fast.init(KEY, x, train=False))
+        )
+        ref = std.apply(variables, x, train=False)
+        out = fast.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
+
+        o1, m1 = std.apply(variables, x, train=True, mutable=["batch_stats"])
+        o2, m2 = fast.apply(variables, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), **TOL)
+        for a, b in zip(
+            jax.tree.leaves(m1["batch_stats"]), jax.tree.leaves(m2["batch_stats"])
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
+
+
 class TestFoldedAutoencoder:
     @pytest.mark.parametrize("impl", ["dense", "pallas_fused"])
     def test_autoencoder_w2d_matches_standard(self, impl, monkeypatch):
