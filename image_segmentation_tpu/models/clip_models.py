@@ -253,6 +253,11 @@ class ClipResSegmentationClassification(nn.Module):
     freeze_clip: bool = True
     freeze_backbone: bool = True
     clip_kwargs: Optional[Mapping] = None
+    # width-to-depth fast path for the decoder's full-resolution level
+    # (as in ClipResSegmentationModel; the 1x1 mask head runs as a
+    # permuted block-diagonal matmul)
+    w2d_level0: bool = False
+    w2d_impl: str = "dense"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False):
@@ -274,11 +279,25 @@ class ClipResSegmentationClassification(nn.Module):
         h = ConvBlockUpsample(128, dtype=self.dtype, name="dec2")(h, train=train)
         h = ConvBlockUpsample(64, dtype=self.dtype, name="dec3")(h, train=train)
         h = ConvBlockUpsample(32, dtype=self.dtype, name="dec4")(h, train=train)
-        h = ConvBlockUpsample(16, dtype=self.dtype, name="dec5")(h, train=train)
-        h = jnp.concatenate([h, x], axis=-1)
-        mask_logits = nn.Conv(
-            1, (1, 1), padding="VALID", dtype=self.dtype, name="mask_out"
-        )(h).astype(jnp.float32)
+        f = folded.FOLD
+        if self.w2d_level0 and (2 * h.shape[2]) % f == 0:
+            h4 = folded.FoldedConvBlockUpsample(
+                32, 16, f, self.dtype, impl=self.w2d_impl, name="dec5"
+            )(h, train=train)
+            b, hh, ww, cin = x.shape
+            x4 = x.reshape(b, hh, ww // f, f * cin)
+            h4 = jnp.concatenate([h4, x4.astype(h4.dtype)], axis=-1)
+            mask4 = folded.Folded1x1(
+                16 + cin, 1, f, self.dtype,
+                in_perm=folded.concat_perm(16, cin, f), name="mask_out",
+            )(h4)
+            mask_logits = folded.d2w(mask4, 1, f).astype(jnp.float32)
+        else:
+            h = ConvBlockUpsample(16, dtype=self.dtype, name="dec5")(h, train=train)
+            h = jnp.concatenate([h, x], axis=-1)
+            mask_logits = nn.Conv(
+                1, (1, 1), padding="VALID", dtype=self.dtype, name="mask_out"
+            )(h).astype(jnp.float32)
         class_logits = nn.Dense(1, dtype=self.dtype, name="class_head")(
             clip_feats.astype(self.dtype)
         ).astype(jnp.float32)

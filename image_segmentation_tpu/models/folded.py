@@ -24,7 +24,7 @@ tests/test_folded.py.  BatchNorm reduces over the fold axis via a 5-D view
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -236,6 +236,10 @@ class Folded1x1(nn.Module):
     features: int
     fold: int = FOLD
     dtype: Any = jnp.bfloat16
+    # input lane permutation: actual[j] = canonical[in_perm[j]] (e.g. a
+    # block concat of two folded tensors, concat_perm) — absorbed into the
+    # weight, zero activation relayout.
+    in_perm: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x4: jax.Array) -> jax.Array:
@@ -247,6 +251,8 @@ class Folded1x1(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         k = kernel[0, 0].astype(self.dtype)
         wbd = jnp.kron(jnp.eye(self.fold, dtype=self.dtype), k)
+        if self.in_perm is not None:
+            wbd = wbd[np.asarray(self.in_perm, np.int64)]
         return x4.astype(self.dtype) @ wbd + jnp.tile(
             bias, self.fold
         ).astype(self.dtype)

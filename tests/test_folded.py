@@ -286,6 +286,33 @@ class TestFoldedClipRes:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
 
 
+class TestFoldedClipResClass:
+    def test_class_model_w2d_matches_standard(self, monkeypatch):
+        from image_segmentation_tpu.models.clip_models import (
+            ClipResSegmentationClassification,
+        )
+
+        monkeypatch.setenv("IMGSEG_PALLAS_MIN_WP", "1")
+        kw = dict(
+            dtype=jnp.float32,
+            clip_kwargs=dict(hidden=32, layers=1, heads=2, mlp_dim=64,
+                             patch=32, proj_dim=32),
+        )
+        std = ClipResSegmentationClassification(**kw)
+        fast = ClipResSegmentationClassification(
+            w2d_level0=True, w2d_impl="pallas_fused", **kw
+        )
+        x = rand((2, 32, 32, 3))
+        variables = std.init(KEY, x, train=False)
+        assert jax.tree_util.tree_structure(variables) == (
+            jax.tree_util.tree_structure(fast.init(KEY, x, train=False))
+        )
+        m_ref, c_ref = std.apply(variables, x, train=False)
+        m_out, c_out = fast.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(m_out), np.asarray(m_ref), **TOL)
+        np.testing.assert_allclose(np.asarray(c_out), np.asarray(c_ref), **TOL)
+
+
 class TestFoldedAutoencoder:
     @pytest.mark.parametrize("impl", ["dense", "pallas_fused"])
     def test_autoencoder_w2d_matches_standard(self, impl, monkeypatch):
