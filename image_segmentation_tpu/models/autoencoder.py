@@ -26,9 +26,11 @@ from .blocks import ConvBlock, ConvBlockDownsample, ConvBlockUpsample
 
 class Encoder(nn.Module):
     dtype: Any = jnp.bfloat16
-    # width-to-depth fast path for the full-resolution level (exact;
-    # shared parameter tree, tests/test_folded.py)
+    # width-to-depth fast paths (exact; shared parameter tree,
+    # tests/test_folded.py): level 0, plus level 1 at f/2 (the
+    # relayout-free chain, models/unet.py w2d_level1_fold2)
     w2d_level0: bool = False
+    w2d_level1_fold2: bool = False
     w2d_impl: str = "dense"
 
     @nn.compact
@@ -47,10 +49,21 @@ class Encoder(nn.Module):
             # under jit and cost nothing.
             x0 = folded.d2w(stem4, 32, f)
             x1 = folded.d2w(h4, 64, f // 2)
+            if self.w2d_level1_fold2 and f >= 4:
+                # enc2 at f/2 consumes enc1's pool output in its natural
+                # folded layout; the f/2 pool output is already unfolded.
+                x2 = folded.FoldedConvBlockDownsample(
+                    64, 64, f // 2, self.dtype, impl=self.w2d_impl,
+                    name="enc2"
+                )(h4, train=train)
+            else:
+                x2 = ConvBlockDownsample(64, dtype=self.dtype, name="enc2")(
+                    x1, train=train
+                )
         else:
             x0 = nn.Conv(32, (1, 1), padding="VALID", dtype=self.dtype, name="input")(x)
             x1 = ConvBlockDownsample(64, dtype=self.dtype, name="enc1")(x0, train=train)
-        x2 = ConvBlockDownsample(64, dtype=self.dtype, name="enc2")(x1, train=train)
+            x2 = ConvBlockDownsample(64, dtype=self.dtype, name="enc2")(x1, train=train)
         x3 = ConvBlockDownsample(64, dtype=self.dtype, name="enc3")(x2, train=train)
         bottleneck = ConvBlock(64, dtype=self.dtype, name="bottleneck")(
             x3, train=train
@@ -68,6 +81,7 @@ class Decoder(nn.Module):
     out_channels: int = 3
     dtype: Any = jnp.bfloat16
     w2d_level0: bool = False
+    w2d_level1_fold2: bool = False
     w2d_impl: str = "dense"
 
     @nn.compact
@@ -75,11 +89,24 @@ class Decoder(nn.Module):
         d1 = ConvBlockUpsample(64, dtype=self.dtype, name="dec1")(
             bottleneck, train=train
         )
-        d2 = ConvBlockUpsample(64, dtype=self.dtype, name="dec2")(d1, train=train)
         f = folded.FOLD
-        if self.w2d_level0 and (2 * d2.shape[2]) % f == 0:
+        fold2 = (
+            self.w2d_level0 and self.w2d_level1_fold2 and f >= 4
+            and (4 * d1.shape[2]) % f == 0
+        )
+        if fold2:
+            # dec2 at f/2: folded transpose from the unfolded d1; its
+            # fold-f/2 output is exactly the slot-major view dec3's
+            # up-conv consumes (in_folded).
+            d2 = folded.FoldedConvBlockUpsample(
+                64, 64, f // 2, self.dtype, impl=self.w2d_impl, name="dec2"
+            )(d1, train=train)
+        else:
+            d2 = ConvBlockUpsample(64, dtype=self.dtype, name="dec2")(d1, train=train)
+        if self.w2d_level0 and (fold2 or (2 * d2.shape[2]) % f == 0):
             d3_4 = folded.FoldedConvBlockUpsample(
-                64, 32, f, self.dtype, impl=self.w2d_impl, name="dec3"
+                64, 32, f, self.dtype, impl=self.w2d_impl,
+                in_folded=fold2, name="dec3"
             )(d2, train=train)
             out4 = folded.Folded1x1(
                 32, self.out_channels, f, self.dtype, name="out"
@@ -98,16 +125,19 @@ class Autoencoder(nn.Module):
     out_channels: int = 3
     dtype: Any = jnp.bfloat16
     w2d_level0: bool = False
+    w2d_level1_fold2: bool = False
     w2d_impl: str = "dense"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         feats = Encoder(
             dtype=self.dtype, w2d_level0=self.w2d_level0,
+            w2d_level1_fold2=self.w2d_level1_fold2,
             w2d_impl=self.w2d_impl, name="encoder",
         )(x, train=train)
         out = Decoder(
             self.out_channels, dtype=self.dtype, w2d_level0=self.w2d_level0,
+            w2d_level1_fold2=self.w2d_level1_fold2,
             w2d_impl=self.w2d_impl, name="decoder",
         )(feats["bottleneck"], train=train)
         return jax.nn.sigmoid(out)

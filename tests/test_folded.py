@@ -314,13 +314,16 @@ class TestFoldedClipResClass:
 
 
 class TestFoldedAutoencoder:
-    @pytest.mark.parametrize("impl", ["dense", "pallas_fused"])
-    def test_autoencoder_w2d_matches_standard(self, impl, monkeypatch):
+    @pytest.mark.parametrize("impl,fold2", [
+        ("dense", False), ("pallas_fused", False), ("pallas_fused", True),
+    ])
+    def test_autoencoder_w2d_matches_standard(self, impl, fold2, monkeypatch):
         from image_segmentation_tpu.models.autoencoder import Autoencoder
 
         monkeypatch.setenv("IMGSEG_PALLAS_MIN_WP", "1")
         std = Autoencoder(dtype=jnp.float32)
-        fast = Autoencoder(dtype=jnp.float32, w2d_level0=True, w2d_impl=impl)
+        fast = Autoencoder(dtype=jnp.float32, w2d_level0=True,
+                           w2d_level1_fold2=fold2, w2d_impl=impl)
         x = rand((2, 32, 32, 3))
         variables = std.init(KEY, x, train=False)
         assert jax.tree_util.tree_structure(variables) == (
