@@ -122,8 +122,13 @@ def bench_prompt():
     cfg = TrainConfig(
         model="clip_unet_prompt", loss="hybrid_binary",
         batch_size=batch, num_epochs=1,
+        # Default standard path: the prompt model's folded variants (incl.
+        # the 1-channel folded prompt-encoder kernel) have not run on
+        # silicon yet — IMGSEG_BENCH_PROMPT_W2D=1 A/Bs them.
         model_args={
-            "w2d_level0": True, "w2d_impl": "pallas_fused",
+            "w2d_level0":
+                os.environ.get("IMGSEG_BENCH_PROMPT_W2D", "0") == "1",
+            "w2d_impl": "pallas_fused",
             "w2d_level1_fold2":
                 os.environ.get("IMGSEG_BENCH_CLIP_W2D_L1F2", "0") == "1",
         },

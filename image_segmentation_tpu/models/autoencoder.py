@@ -49,7 +49,7 @@ class Encoder(nn.Module):
             # under jit and cost nothing.
             x0 = folded.d2w(stem4, 32, f)
             x1 = folded.d2w(h4, 64, f // 2)
-            if self.w2d_level1_fold2 and f >= 4:
+            if self.w2d_level1_fold2 and f == 4:
                 # enc2 at f/2 consumes enc1's pool output in its natural
                 # folded layout; the f/2 pool output is already unfolded.
                 x2 = folded.FoldedConvBlockDownsample(
@@ -90,9 +90,11 @@ class Decoder(nn.Module):
             bottleneck, train=train
         )
         f = folded.FOLD
+        # fold f//2 transpose from unfolded d1 reshapes by m = f//4
+        # (trivially satisfiable at FOLD=4, but keep the true requirement).
         fold2 = (
-            self.w2d_level0 and self.w2d_level1_fold2 and f >= 4
-            and (4 * d1.shape[2]) % f == 0
+            self.w2d_level0 and self.w2d_level1_fold2 and f == 4
+            and d1.shape[2] % max(f // 4, 1) == 0
         )
         if fold2:
             # dec2 at f/2: folded transpose from the unfolded d1; its
@@ -103,7 +105,8 @@ class Decoder(nn.Module):
             )(d1, train=train)
         else:
             d2 = ConvBlockUpsample(64, dtype=self.dtype, name="dec2")(d1, train=train)
-        if self.w2d_level0 and (fold2 or (2 * d2.shape[2]) % f == 0):
+        # non-fold2 dec3 reshapes the unfolded d2 by m = f//2.
+        if self.w2d_level0 and (fold2 or d2.shape[2] % (f // 2) == 0):
             d3_4 = folded.FoldedConvBlockUpsample(
                 64, 32, f, self.dtype, impl=self.w2d_impl,
                 in_folded=fold2, name="dec3"
@@ -130,13 +133,17 @@ class Autoencoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        # One gate for BOTH halves (the encoder's width requirement is the
+        # stricter one), so a fallback never produces a mixed
+        # standard-encoder / folded-decoder model.
+        use_fold = self.w2d_level0 and x.shape[2] % (2 * folded.FOLD) == 0
         feats = Encoder(
-            dtype=self.dtype, w2d_level0=self.w2d_level0,
+            dtype=self.dtype, w2d_level0=use_fold,
             w2d_level1_fold2=self.w2d_level1_fold2,
             w2d_impl=self.w2d_impl, name="encoder",
         )(x, train=train)
         out = Decoder(
-            self.out_channels, dtype=self.dtype, w2d_level0=self.w2d_level0,
+            self.out_channels, dtype=self.dtype, w2d_level0=use_fold,
             w2d_level1_fold2=self.w2d_level1_fold2,
             w2d_impl=self.w2d_impl, name="decoder",
         )(feats["bottleneck"], train=train)

@@ -67,7 +67,7 @@ class ClipUnet(nn.Module):
 
         use_fold = self.w2d_level0 and x.shape[2] % (2 * folded.FOLD) == 0
         fold_l1_2 = (
-            use_fold and self.w2d_level1_fold2 and folded.FOLD >= 4
+            use_fold and self.w2d_level1_fold2 and folded.FOLD == 4
         )
         if use_fold:
             f = folded.FOLD
@@ -321,7 +321,7 @@ class PromptEncoder(nn.Module):
     def __call__(self, prompt: jax.Array, *, train: bool = False) -> jax.Array:
         f = folded.FOLD
         use_fold = self.w2d_level0 and prompt.shape[2] % (2 * f) == 0
-        fold2 = use_fold and self.w2d_level1_fold2 and f >= 4
+        fold2 = use_fold and self.w2d_level1_fold2 and f == 4
         if use_fold:
             b, hh, ww, c = prompt.shape
             h4 = folded.FoldedConvBlockDownsample(
@@ -380,7 +380,7 @@ class ClipUnetPrompt(nn.Module):
 
         f = folded.FOLD
         use_fold = self.w2d_level0 and x.shape[2] % (2 * f) == 0
-        fold_l1_2 = use_fold and self.w2d_level1_fold2 and f >= 4
+        fold_l1_2 = use_fold and self.w2d_level1_fold2 and f == 4
         if use_fold:
             b, hh, ww, cin = x.shape
             stem4 = folded.Folded1x1(

@@ -119,7 +119,7 @@ class UNet(nn.Module):
         enc1_folded = h4  # folded by f//2
 
         many_enc = len(self.encoder_features) >= 2
-        fold_l1_2 = self.w2d_level1_fold2 and many_enc and f >= 4
+        fold_l1_2 = self.w2d_level1_fold2 and many_enc and f == 4
         fold_l1 = self.w2d_level1 and many_enc and not fold_l1_2
         if fold_l1_2:
             # enc1's pool output is ALREADY the canonical fold-f/2 layout,
