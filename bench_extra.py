@@ -42,10 +42,10 @@ def bench_clip_unet():
         num_epochs=1,
         model_args={
             "w2d_level0": True, "w2d_impl": "pallas_fused",
-            # A/B hook for the round-3 ClipUnet fold-2 level 1 (committed
-            # default off until the silicon A/B runs).
+            # Fold-2 level 1: default ON since the round-3 silicon A/B
+            # (513.8 -> 534.9 img/s); IMGSEG_BENCH_CLIP_W2D_L1F2=0 opts out.
             "w2d_level1_fold2":
-                os.environ.get("IMGSEG_BENCH_CLIP_W2D_L1F2", "0") == "1",
+                os.environ.get("IMGSEG_BENCH_CLIP_W2D_L1F2", "1") == "1",
         },
         data=DataConfig(
             dataset="synthetic", synthetic_length=batch, image_size=size,
@@ -122,15 +122,15 @@ def bench_prompt():
     cfg = TrainConfig(
         model="clip_unet_prompt", loss="hybrid_binary",
         batch_size=batch, num_epochs=1,
-        # Default standard path: the prompt model's folded variants (incl.
-        # the 1-channel folded prompt-encoder kernel) have not run on
-        # silicon yet — IMGSEG_BENCH_PROMPT_W2D=1 A/Bs them.
+        # Folded variants (incl. the 1-channel folded prompt-encoder
+        # kernel): default ON since the round-3 silicon A/B (257.9 ->
+        # 394.9 img/s); IMGSEG_BENCH_PROMPT_W2D=0 opts out of w2d_level0.
         model_args={
             "w2d_level0":
-                os.environ.get("IMGSEG_BENCH_PROMPT_W2D", "0") == "1",
+                os.environ.get("IMGSEG_BENCH_PROMPT_W2D", "1") == "1",
             "w2d_impl": "pallas_fused",
             "w2d_level1_fold2":
-                os.environ.get("IMGSEG_BENCH_CLIP_W2D_L1F2", "0") == "1",
+                os.environ.get("IMGSEG_BENCH_CLIP_W2D_L1F2", "1") == "1",
         },
         data=DataConfig(
             dataset="synthetic", synthetic_length=batch, image_size=size,

@@ -11,6 +11,11 @@ bundle (model copy + load_model.py + inference.py + upload.py):
   equivalent; our checkpoints are stable flat pytrees.
 - :func:`predict`: PIL/array image -> (256, 256) argmax class-id mask, the
   exact ``inference.py:predict`` contract (resize 256, [0,1] scale, argmax).
+- :func:`export_stablehlo` / :func:`load_stablehlo`: a serving surface the
+  torch reference has no equivalent of — the jitted inference forward
+  serialized as a portable StableHLO module (``jax.export``), weights baked
+  in as constants, symbolic batch dimension, loadable WITHOUT the model
+  code or this package's Python classes.
 
 Hub upload (upload.py) is intentionally out of scope in the zero-egress
 build environment; the artifact directory is `huggingface_hub.upload_folder`
@@ -44,6 +49,8 @@ def export_model(
     model_args: Optional[Dict[str, Any]] = None,
     out_dir: str = "exported-model",
     torch_format: bool = False,
+    stablehlo: bool = False,
+    image_size: int = 256,
 ) -> str:
     """Write an inference artifact directory from a train state.
 
@@ -51,7 +58,9 @@ def export_model(
     writes ``model_torch.pt`` — a torch state dict in the REFERENCE's key
     layout (utils/torch_export.py), matching the model.pt the reference's
     huggingface-models bundle ships, so reference/torch users can consume
-    the artifact directly."""
+    the artifact directly.  With ``stablehlo``, also writes
+    ``model.stablehlo`` — the compiled inference forward as a portable
+    StableHLO module (see :func:`export_stablehlo`)."""
     os.makedirs(out_dir, exist_ok=True)
     infer_state = {
         "params": state["params"],
@@ -79,7 +88,67 @@ def export_model(
             {k: torch.from_numpy(v.copy()) for k, v in sd.items()},
             os.path.join(out_dir, "model_torch.pt"),
         )
+    if stablehlo:
+        model, variables = load_model(out_dir)
+        export_stablehlo(
+            model,
+            variables,
+            os.path.join(out_dir, "model.stablehlo"),
+            image_size=image_size,
+        )
     return out_dir
+
+
+def export_stablehlo(
+    model,
+    variables: Dict,
+    out_path: str,
+    *,
+    image_size: int = 256,
+    channels: int = 3,
+    batch_size: Optional[int] = None,
+    platforms=None,
+) -> str:
+    """Serialize ``model.apply(variables, x, train=False)`` as StableHLO.
+
+    The exported module takes ONE argument — a float32 NHWC image batch
+    (symbolic batch dim when ``batch_size`` is None) — and returns the
+    class logits.  Weights are embedded as module constants, so the
+    artifact is self-contained: :func:`load_stablehlo` (or any StableHLO
+    runtime) can run it with no model code at all.  ``platforms`` follows
+    ``jax.export.export`` (default: the current backend only; pass e.g.
+    ``["cpu", "tpu"]`` for a multi-platform module).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jxe
+
+    def infer(x):
+        return model.apply(variables, x, train=False)
+
+    if batch_size is None:
+        (b,) = jxe.symbolic_shape("b")
+    else:
+        b = batch_size
+    spec = jax.ShapeDtypeStruct((b, image_size, image_size, channels), jnp.float32)
+    kwargs = {} if platforms is None else {"platforms": tuple(platforms)}
+    exported = jxe.export(jax.jit(infer), **kwargs)(spec)
+    with open(out_path, "wb") as f:
+        f.write(exported.serialize())
+    return out_path
+
+
+def load_stablehlo(path: str):
+    """Deserialize a :func:`export_stablehlo` artifact into a callable.
+
+    Returns a function ``f(images_f32_nhwc) -> logits`` backed by the
+    serialized module (recompiled for the local backend on first call).
+    """
+    from jax import export as jxe
+
+    with open(path, "rb") as f:
+        exported = jxe.deserialize(f.read())
+    return exported.call
 
 
 def load_model(artifact_dir: str, dtype=None) -> Tuple[Any, Dict]:

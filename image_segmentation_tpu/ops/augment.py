@@ -131,13 +131,19 @@ def _rotate_two_pass(stacked: jax.Array, angles_deg: jax.Array) -> jax.Array:
 def _use_pallas_roll() -> bool:
     """Whether the uint8 shear rolls run as Pallas VMEM kernels.
 
-    Off by default until the kernels are A/B-verified on silicon
-    (``tests/test_real_tpu_kernels.py::test_pallas_roll_native``);
+    Default ON on TPU since the round-3 silicon A/B: the kernels compile
+    and verify natively (tests/test_real_tpu_kernels.py::test_pallas_roll_native)
+    and the headline bench measured 123.8 -> 125.4 img/s with them.
     ``IMGSEG_PALLAS_ROLL=0/1`` forces either — 1 on CPU runs the kernels
     in interpret mode, used by the equivalence tests."""
     import os
 
-    return os.environ.get("IMGSEG_PALLAS_ROLL") == "1"
+    forced = os.environ.get("IMGSEG_PALLAS_ROLL")
+    if forced is not None:
+        return forced == "1"
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
 
 
 def _row_shift(x: jax.Array, shifts: jax.Array, max_shift: int) -> jax.Array:

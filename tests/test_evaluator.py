@@ -137,3 +137,29 @@ class TestExport:
         mask = ex.predict(model, variables, img)
         assert mask.shape == (256, 256)
         assert set(np.unique(mask)).issubset({0, 1, 2})
+
+    def test_stablehlo_export_runs_without_model_code(self, tmp_path):
+        """jax.export round trip: the serialized module must reproduce the
+        live model's logits for an arbitrary batch size (symbolic batch dim)
+        — and do so through deserialize/call alone, no registry access."""
+        from image_segmentation_tpu.engine import export as ex
+
+        cfg = preset("smoke")
+        cfg.save_dir = str(tmp_path)
+        t = Trainer(cfg, make_artifacts=False)
+        out_dir = ex.export_model(
+            jax.device_get(t.state), cfg.model, cfg.model_args,
+            str(tmp_path / "artifact"), stablehlo=True, image_size=32,
+        )
+        path = os.path.join(out_dir, "model.stablehlo")
+        assert os.path.exists(path)
+        model, variables = ex.load_model(out_dir)
+        fn = ex.load_stablehlo(path)
+        rng = np.random.default_rng(1)
+        for batch in (1, 3):  # exercise the symbolic batch dimension
+            x = jnp.asarray(rng.random((batch, 32, 32, 3), np.float32))
+            got = np.asarray(fn(x))
+            want = np.asarray(model.apply(variables, x, train=False))
+            # bf16 compute: serialized-module and live-apply fusions may
+            # round differently at the last bit.
+            np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
