@@ -69,16 +69,32 @@ def main() -> None:
     masks = jnp.asarray(rng.integers(0, 3, (batch, size, size)).astype(np.uint8))
     key = jax.random.PRNGKey(0)
 
-    # Warmup / compile.
-    for i in range(3):
-        trainer.state, loss = trainer._train_step(trainer.state, images, masks, key)
-    jax.block_until_ready(loss)
+    # Timing methodology: `steps` iterations chained inside ONE jit via
+    # lax.fori_loop threading the full train state, finished with a real
+    # device->host transfer.  Dispatch-level chaining + block_until_ready
+    # was measured returning EARLY on one config (bench_extra autoencoder
+    # w2d: 38k "img/s") even though it agrees exactly with this loop on
+    # this headline config (125.16 vs 125.07 img/s) — see PERFORMANCE.md.
+    # The per-iteration fold_in stops XLA hoisting the augmentation out of
+    # the loop and matches production (fresh key every step).
+    import functools
+
+    step = trainer._train_step
+
+    @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(0,))
+    def run_n(state, images, masks, key, n):
+        def body(i, st):
+            st2, _loss = step(st, images, masks, jax.random.fold_in(key, i))
+            return st2
+        return jax.lax.fori_loop(0, n, body, state)
 
     steps = 20
+    state = run_n(trainer.state, images, masks, key, steps)  # compile+warm
+    jax.device_get(state["step"])
+
     t0 = time.perf_counter()
-    for i in range(steps):
-        trainer.state, loss = trainer._train_step(trainer.state, images, masks, key)
-    jax.block_until_ready(loss)
+    state = run_n(state, images, masks, key, steps)
+    jax.device_get(state["step"])  # true sync: a real transfer
     dt = time.perf_counter() - t0
 
     imgs_per_sec = steps * batch / dt

@@ -59,13 +59,23 @@ def bench_clip_unet():
 
 
 def _bench_train_step(metric, cfg, masks, steps=20):
-    """Shared warm-up + chained-timing loop (bench.py methodology: the
-    state threads through every step, so the axon runtime cannot elide or
-    cache the dispatches — see PERFORMANCE.md measurement caveat).
+    """Shared timing loop: ``steps`` iterations CHAINED inside ONE jit
+    (lax.fori_loop threading the full train state), finished with a real
+    device->host transfer.
 
-    Compiles ONCE via the AOT path (lower().compile()) and runs the timing
-    loop on the compiled executable, so reading cost_analysis() does not
-    pay a second end-to-end XLA compile."""
+    This is the only methodology the axon runtime cannot misreport:
+    dispatch-level chaining + block_until_ready was measured returning
+    EARLY on the folded-autoencoder config (38k "img/s" at 1543% MFU while
+    the chain was still in flight), even though it agrees exactly with
+    this loop on the headline config (125.16 vs 125.07 img/s) — see
+    PERFORMANCE.md measurement caveat.  The per-iteration key fold-in
+    stops XLA hoisting the augmentation out of the loop (and matches
+    production, which feeds a fresh key every step).
+
+    The single-step AOT lowering is still compiled once, ONLY to read
+    cost_analysis() for the MFU column."""
+    import functools
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -82,18 +92,22 @@ def _bench_train_step(metric, cfg, masks, steps=20):
     masks = jnp.asarray(masks)
     key = jax.random.PRNGKey(0)
 
-    compiled = trainer._train_step.lower(
-        trainer.state, images, masks, key
-    ).compile()
+    step = trainer._train_step
+    compiled = step.lower(trainer.state, images, masks, key).compile()
 
-    for _ in range(3):
-        trainer.state, loss = compiled(trainer.state, images, masks, key)
-    jax.block_until_ready(loss)
+    @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(0,))
+    def run_n(state, images, masks, key, n):
+        def body(i, st):
+            st2, _loss = step(st, images, masks, jax.random.fold_in(key, i))
+            return st2
+        return jax.lax.fori_loop(0, n, body, state)
+
+    state = run_n(trainer.state, images, masks, key, steps)  # compile+warm
+    jax.device_get(state["step"])
 
     t0 = time.perf_counter()
-    for _ in range(steps):
-        trainer.state, loss = compiled(trainer.state, images, masks, key)
-    jax.block_until_ready(loss)
+    state = run_n(state, images, masks, key, steps)
+    jax.device_get(state["step"])  # true sync: a real transfer
     dt = time.perf_counter() - t0
 
     V5E_BF16_PEAK = 197e12
@@ -157,11 +171,14 @@ def bench_autoencoder():
     batch, size = 32, 256
     cfg = TrainConfig(
         model="autoencoder", loss="mse", batch_size=batch, num_epochs=1,
-        # A/B hook for the round-3 folded autoencoder (exact equivalence
-        # tested; off until the silicon A/B runs).
+        # Folded autoencoder: default ON since the round-3 silicon A/B
+        # (486.0 -> 776.7 img/s, 12.2 -> 31.1% MFU); IMGSEG_BENCH_AE_W2D=0
+        # opts out.  NOTE this config is where the dispatch-chained timing
+        # was caught lying (38k "img/s"); _bench_train_step now chains
+        # inside one jit.
         model_args={
             "w2d_level0":
-                os.environ.get("IMGSEG_BENCH_AE_W2D", "0") == "1",
+                os.environ.get("IMGSEG_BENCH_AE_W2D", "1") == "1",
             "w2d_impl": "pallas_fused",
         },
         data=DataConfig(
@@ -221,9 +238,12 @@ def bench_infer(size=512, steps=20, model_args=None):
         images = jnp.asarray(
             rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8)
         )
-        chain(images).block_until_ready()  # compile + warm
+        float(chain(images)[0, 0, 0, 0])  # compile + warm (real transfer)
         t0 = time.perf_counter()
-        chain(images).block_until_ready()
+        # Finish with a device->host read of an element that depends on the
+        # whole chain: block_until_ready alone was measured returning early
+        # on queued work (PERFORMANCE.md measurement caveat).
+        float(chain(images)[0, 0, 0, 0])
         dt = time.perf_counter() - t0
         value = (1e3 * dt / steps) if report_latency else steps * batch / dt
         print(json.dumps({
