@@ -355,10 +355,18 @@ class FoldedConvBlock(nn.Module):
     impl: str = "dense"
 
     @nn.compact
-    def __call__(self, x4: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(
+        self, x4: jax.Array, x4b: jax.Array = None, *, train: bool = False
+    ) -> jax.Array:
+        """``x4b`` (optional): the input is the lane concat ``[x4 | x4b]``
+        (the decoder's [up | skip]).  The fused impl joins the parts in
+        VMEM on every kernel read (the concat buffer never exists in HBM);
+        other impls concatenate eagerly."""
         f, feats = self.fold, self.features
         if self.impl == "pallas_fused":
-            return self._fused_forward(x4, train)
+            return self._fused_forward(x4, x4b, train)
+        if x4b is not None:
+            x4 = jnp.concatenate([x4, x4b.astype(x4.dtype)], axis=-1)
 
         def bn(name, h4):
             return FoldedBatchNorm(
@@ -379,7 +387,9 @@ class FoldedConvBlock(nn.Module):
         )(h)
         return nn.relu(bn("bn2", h))
 
-    def _fused_forward(self, x4: jax.Array, train: bool) -> jax.Array:
+    def _fused_forward(
+        self, x4: jax.Array, x4b: jax.Array, train: bool
+    ) -> jax.Array:
         """Fused Pallas path (same parameter tree as the standard path):
 
         conv1 emits its output's batch statistics as a kernel epilogue
@@ -397,6 +407,7 @@ class FoldedConvBlock(nn.Module):
 
         f, feats, cin = self.fold, self.features, self.in_features
         interp = jax.default_backend() not in ("tpu", "axon")
+        in_split = None if x4b is None else int(x4.shape[-1])
         perm_t = (
             tuple(int(p) for p in self.in_perm)
             if self.in_perm is not None
@@ -419,14 +430,18 @@ class FoldedConvBlock(nn.Module):
         )
 
         x4 = x4.astype(self.dtype)
+        if x4b is not None:
+            x4b = x4b.astype(self.dtype)
         if train:
             scale1, bias1 = bn1(raw=True)
             scale2, bias2 = bn2(raw=True)
             block = make_folded_block(
-                cin, feats, f, in_perm=perm_t, eps=BN_EPS, interpret=interp
+                cin, feats, f, in_perm=perm_t, eps=BN_EPS, interpret=interp,
+                in_split=in_split,
             )
             z, mean1, var1, mean2, var2 = block(
-                x4, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2
+                *((x4,) if x4b is None else (x4, x4b)),
+                k1, c1b, k2, c2b, scale1, bias1, scale2, bias2,
             )
             # Commit the running averages (the returned affines are unused
             # and dead-code eliminated).
@@ -435,9 +450,9 @@ class FoldedConvBlock(nn.Module):
             return z
         conv1 = make_folded_conv_bn3x3(
             cin, feats, f, in_perm=perm_t, pre=False, stats=False,
-            interpret=interp,
+            interpret=interp, in_split=in_split,
         )
-        y1 = conv1(x4, k1, c1b)
+        y1 = conv1(*((x4,) if x4b is None else (x4, x4b)), k1, c1b)
         a1, b1 = bn1()
         conv2 = make_folded_conv_bn3x3(
             feats, feats, f, pre=True, stats=False, interpret=interp
@@ -642,10 +657,15 @@ class FoldedConvBlockUpsampleSkip(nn.Module):
         )
         cb = skip4.shape[-1] // self.fold
         # plain block concat; the slot interleave is absorbed into the next
-        # conv's expanded kernel (zero activation relayout).
-        h = jnp.concatenate([up4, skip4.astype(up4.dtype)], axis=-1)
-        return FoldedConvBlock(
+        # conv's expanded kernel (zero activation relayout).  The fused
+        # impl never materializes the concat at all: the block takes the
+        # two halves and joins them in VMEM on each kernel read.
+        block = FoldedConvBlock(
             2 * self.features, self.features, self.fold, self.dtype,
             in_perm=concat_perm(self.features, cb, self.fold),
             impl=self.impl, name="conv_block",
-        )(h, train=train)
+        )
+        if self.impl == "pallas_fused":
+            return block(up4, skip4.astype(up4.dtype), train=train)
+        h = jnp.concatenate([up4, skip4.astype(up4.dtype)], axis=-1)
+        return block(h, train=train)

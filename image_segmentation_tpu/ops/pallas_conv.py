@@ -162,7 +162,7 @@ def _gfold_transform(g, y, gf_ref, mode, lanes):
 
 def _build_aug(
     top_ref, mid_ref, bot_ref, *, ht, wp, lanes, prev_runs, next_runs,
-    ab_ref=None, y_refs=None, gf_ref=None, gfold=None,
+    ab_ref=None, y_refs=None, gf_ref=None, gfold=None, b_refs=None,
 ):
     """(ht+2, wp, lanes + 2*ci) haloed slab built entirely in VMEM.
 
@@ -175,6 +175,13 @@ def _build_aug(
     matching forward-output slabs (same index maps).  Zero insertion after
     the transform keeps conv-backward SAME-padding semantics (the cotangent
     beyond the image edge is zero).
+
+    ``b_refs`` (top2, mid2, bot2): the slab is the lane CONCAT of two
+    separately-stored inputs (the decoder's [up | skip]) — joined here in
+    VMEM so the 2C-lane concat buffer is never materialized in HBM.
+    ``lanes`` is the TOTAL lane count; ``prev_runs``/``next_runs`` address
+    the concatenated layout.  Mutually exclusive with ``ab_ref``/``gfold``
+    (never needed together: the concat inputs are already activated).
     """
     n_h = pl.num_programs(1)
     i = pl.program_id(1)
@@ -182,6 +189,12 @@ def _build_aug(
     mid = mid_ref[0]  # (ht, wp, lanes)
     top = top_ref[0]  # (1, wp, lanes)
     bot = bot_ref[0]
+    if b_refs is not None:
+        assert ab_ref is None and gfold is None
+        top2_ref, mid2_ref, bot2_ref = b_refs
+        mid = jnp.concatenate([mid, mid2_ref[0]], axis=-1)
+        top = jnp.concatenate([top, top2_ref[0]], axis=-1)
+        bot = jnp.concatenate([bot, bot2_ref[0]], axis=-1)
     if gfold is not None:
         y_top, y_mid, y_bot = y_refs
         top = _gfold_transform(top, y_top[0], gf_ref, gfold, lanes)
@@ -239,6 +252,8 @@ def _conv_kernel_body(
     post: bool = False,
     stats: bool = False,
     gfold: str | None = None,
+    lanes_b: int = 0,
+    split_out: tuple[int, int] | None = None,
 ):
     """Conv core with optional fusions:
 
@@ -256,16 +271,27 @@ def _conv_kernel_body(
     - ``gfold``: the slab is a raw cotangent; its BatchNorm backward
       (affine-relu adjoint and/or stats-cotangent fold) is computed on
       read from matching forward-output slabs (:func:`_gfold_transform`).
+    - ``lanes_b``: the slab input is stored as TWO arrays (lane concat
+      [A | B], B holding ``lanes_b`` lanes) joined in VMEM — see
+      :func:`_build_aug`.
+    - ``split_out``: write the output as two lane-sliced arrays
+      (na, nb) instead of one (the adjoint of the VMEM concat: the input
+      gradient of a decoder block lands directly in the up/skip halves).
     """
     it = iter(refs)
     top_ref, mid_ref, bot_ref = next(it), next(it), next(it)
+    b_refs = (next(it), next(it), next(it)) if lanes_b else None
     y_refs = (next(it), next(it), next(it)) if gfold else None
     w_ref, bias_ref = next(it), next(it)
     gf_ref = next(it) if gfold else None
     ab_pre_ref = next(it) if pre else None
     x_ref = next(it) if post else None
     ab_post_ref = next(it) if post else None
-    out_ref = next(it)
+    if split_out is not None:
+        out_ref = None
+        out_a_ref, out_b_ref = next(it), next(it)
+    else:
+        out_ref = next(it)
     s1_ref = next(it) if stats else None
     s2_ref = next(it) if stats else None
     da_ref = next(it) if post else None
@@ -277,6 +303,7 @@ def _conv_kernel_body(
         top_ref, mid_ref, bot_ref,
         ht=ht, wp=wp, lanes=lanes, prev_runs=prev_runs, next_runs=next_runs,
         ab_ref=ab_pre_ref, y_refs=y_refs, gf_ref=gf_ref, gfold=gfold,
+        b_refs=b_refs,
     )
     kdim = lanes + 2 * ci
 
@@ -301,6 +328,7 @@ def _conv_kernel_body(
     acc = acc + bias_ref[0].astype(jnp.float32)
 
     if post:
+        assert split_out is None
         x = x_ref[0].reshape(ht * wp, n_out).astype(jnp.float32)
         a_q = ab_post_ref[0:1].reshape(1, n_out).astype(jnp.float32)
         b_q = ab_post_ref[1:2].reshape(1, n_out).astype(jnp.float32)
@@ -315,6 +343,11 @@ def _conv_kernel_body(
 
         da_ref[...] = da_ref[...] + jnp.sum(gu * x, axis=0, keepdims=True)
         dbp_ref[...] = dbp_ref[...] + jnp.sum(gu, axis=0, keepdims=True)
+    elif split_out is not None:
+        na, _ = split_out
+        y = acc.reshape(ht, wp, n_out).astype(out_dtype)
+        out_a_ref[0] = y[..., :na]
+        out_b_ref[0] = y[..., na:]
     else:
         y = acc.reshape(ht, wp, n_out).astype(out_dtype)
         out_ref[0] = y
@@ -347,6 +380,8 @@ def _folded_conv_pallas(
     g_y: jax.Array | None = None,
     gf_consts: jax.Array | None = None,
     gfold: str | None = None,
+    x4b: jax.Array | None = None,
+    split_out: tuple[int, int] | None = None,
 ):
     """Run the kernel: x4 (B, H, Wp, L) x w_mats (3, L+2ci, N) -> (B, H, Wp, N).
 
@@ -355,10 +390,15 @@ def _folded_conv_pallas(
     :func:`_conv_kernel_body`.
     With ``gfold``: ``x4`` is a raw cotangent; ``g_y`` (same shape) and
     ``gf_consts`` ((2|4, L) f32) feed the on-read stats fold.
+    With ``x4b``: the input slab is the VMEM lane concat [x4 | x4b].
+    With ``split_out`` (na, nb): returns (y_a, y_b) — the output lane-split
+    into two arrays (the adjoint of the VMEM concat).
     """
     pre = ab_pre is not None
     post = x_post is not None
     b, h, wp, lanes = x4.shape
+    lanes_b = 0 if x4b is None else x4b.shape[-1]
+    lanes = lanes + lanes_b
     n_out = w_mats.shape[-1]
     extra = (n_out if post else 0) + (lanes if gfold else 0)
     ht = h_tile or _pick_h_tile(
@@ -382,27 +422,36 @@ def _folded_conv_pallas(
         post=post,
         stats=stats,
         gfold=gfold,
+        lanes_b=lanes_b,
+        split_out=split_out,
     )
     flops = 2 * b * h * wp * (lanes + 2 * ci) * n_out * 3
     n_h = h // ht
-    slab_specs = [
-        # one row above the tile (clamped; zeroed in-kernel at i == 0)
-        pl.BlockSpec(
-            (1, 1, wp, lanes),
-            lambda b, i: (b, jnp.maximum(i * ht - 1, 0), 0, 0),
-        ),
-        # the tile itself
-        pl.BlockSpec((1, ht, wp, lanes), lambda b, i: (b, i, 0, 0)),
-        # one row below the tile (clamped; zeroed at i == n_h - 1)
-        pl.BlockSpec(
-            (1, 1, wp, lanes),
-            lambda b, i: (b, jnp.minimum(i * ht + ht, n_h * ht - 1), 0, 0),
-        ),
-    ]
+
+    def _slab_specs(width):
+        return [
+            # one row above the tile (clamped; zeroed in-kernel at i == 0)
+            pl.BlockSpec(
+                (1, 1, wp, width),
+                lambda b, i: (b, jnp.maximum(i * ht - 1, 0), 0, 0),
+            ),
+            # the tile itself
+            pl.BlockSpec((1, ht, wp, width), lambda b, i: (b, i, 0, 0)),
+            # one row below the tile (clamped; zeroed at i == n_h - 1)
+            pl.BlockSpec(
+                (1, 1, wp, width),
+                lambda b, i: (b, jnp.minimum(i * ht + ht, n_h * ht - 1), 0, 0),
+            ),
+        ]
+
+    slab_specs = _slab_specs(lanes - lanes_b)
     in_specs = list(slab_specs)
     args = [x4, x4, x4]
+    if lanes_b:
+        in_specs.extend(_slab_specs(lanes_b))
+        args.extend([x4b, x4b, x4b])
     if gfold:
-        in_specs.extend(slab_specs)  # y slabs, same index maps
+        in_specs.extend(_slab_specs(lanes))  # y slabs, same index maps
         args.extend([g_y, g_y, g_y])
     in_specs.extend([
         pl.BlockSpec((3, w_mats.shape[1], n_out), lambda b, i: (0, 0, 0)),
@@ -421,6 +470,33 @@ def _folded_conv_pallas(
         in_specs.append(pl.BlockSpec((1, ht, wp, n_out), lambda b, i: (b, i, 0, 0)))
         in_specs.append(pl.BlockSpec((2, n_out), lambda b, i: (0, 0)))
         args.extend([x_post, ab_post])
+
+    if split_out is not None:
+        assert not stats and not post
+        na, nb = split_out
+        assert na + nb == n_out, (na, nb, n_out)
+        out_specs = [
+            pl.BlockSpec((1, ht, wp, na), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, ht, wp, nb), lambda b, i: (b, i, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, h, wp, na), x4.dtype),
+            jax.ShapeDtypeStruct((b, h, wp, nb), x4.dtype),
+        ]
+        ya, yb = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=x4.size * x4.dtype.itemsize * 2,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*args)
+        return ya, yb
 
     out_specs = [pl.BlockSpec((1, ht, wp, n_out), lambda b, i: (b, i, 0, 0))]
     out_shape = [jax.ShapeDtypeStruct((b, h, wp, n_out), x4.dtype)]
@@ -459,6 +535,7 @@ def _wgrad_kernel_body(
     next_runs: Sequence[tuple[int, int]],
     pre: bool = False,
     gfold: str | None = None,
+    lanes_b: int = 0,
 ):
     """dkp[dy] = sum over tiles of aug_rows(dy)^T @ g_rows; db = sum g.
 
@@ -472,11 +549,14 @@ def _wgrad_kernel_body(
     ``gfold``: the ``g`` operand is a raw cotangent; its stats fold is
     computed on read from the matching forward-output block ``y`` and the
     per-lane constants (:func:`_gfold_transform`).
+
+    ``lanes_b``: the slab is stored as two arrays joined in VMEM
+    (:func:`_build_aug`).
     """
     it = iter(refs)
-    top_ref, mid_ref, bot_ref, g_ref = (
-        next(it), next(it), next(it), next(it)
-    )
+    top_ref, mid_ref, bot_ref = next(it), next(it), next(it)
+    b_refs = (next(it), next(it), next(it)) if lanes_b else None
+    g_ref = next(it)
     y_ref = next(it) if gfold else None
     gf_ref = next(it) if gfold else None
     ab_ref = next(it) if pre else None
@@ -487,7 +567,7 @@ def _wgrad_kernel_body(
     aug = _build_aug(
         top_ref, mid_ref, bot_ref,
         ht=ht, wp=wp, lanes=lanes, prev_runs=prev_runs, next_runs=next_runs,
-        ab_ref=ab_ref,
+        ab_ref=ab_ref, b_refs=b_refs,
     )
     kdim = lanes + 2 * ci
     g_raw = g_ref[0]
@@ -523,11 +603,15 @@ def _folded_wgrad_pallas(
     g_y: jax.Array | None = None,
     gf_consts: jax.Array | None = None,
     gfold: str | None = None,
+    x4b: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """(dkp (3, lanes+2ci, N) f32 in KERNEL row order [prev|actual mid|next],
-    db (N,) f32) from one pass over x4 and g."""
+    db (N,) f32) from one pass over x4 and g.  ``x4b``: the slab is the
+    VMEM lane concat [x4 | x4b]."""
     pre = ab_pre is not None
     b, h, wp, lanes = x4.shape
+    lanes_b = 0 if x4b is None else x4b.shape[-1]
+    lanes = lanes + lanes_b
     n_out = g.shape[-1]
     kdim = lanes + 2 * ci
     extra = n_out if gfold else 0
@@ -548,21 +632,30 @@ def _folded_wgrad_pallas(
         next_runs=next_runs,
         pre=pre,
         gfold=gfold,
+        lanes_b=lanes_b,
     )
     flops = 2 * b * h * wp * kdim * n_out * 3
-    in_specs = [
-        pl.BlockSpec(
-            (1, 1, wp, lanes),
-            lambda b, i: (b, jnp.maximum(i * ht - 1, 0), 0, 0),
-        ),
-        pl.BlockSpec((1, ht, wp, lanes), lambda b, i: (b, i, 0, 0)),
-        pl.BlockSpec(
-            (1, 1, wp, lanes),
-            lambda b, i: (b, jnp.minimum(i * ht + ht, n_h * ht - 1), 0, 0),
-        ),
-        pl.BlockSpec((1, ht, wp, n_out), lambda b, i: (b, i, 0, 0)),
-    ]
-    args = [x4, x4, x4, g]
+
+    def _slab_specs(width):
+        return [
+            pl.BlockSpec(
+                (1, 1, wp, width),
+                lambda b, i: (b, jnp.maximum(i * ht - 1, 0), 0, 0),
+            ),
+            pl.BlockSpec((1, ht, wp, width), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, wp, width),
+                lambda b, i: (b, jnp.minimum(i * ht + ht, n_h * ht - 1), 0, 0),
+            ),
+        ]
+
+    in_specs = _slab_specs(lanes - lanes_b)
+    args = [x4, x4, x4]
+    if lanes_b:
+        in_specs.extend(_slab_specs(lanes_b))
+        args.extend([x4b, x4b, x4b])
+    in_specs.append(pl.BlockSpec((1, ht, wp, n_out), lambda b, i: (b, i, 0, 0)))
+    args.append(g)
     if gfold:
         in_specs.append(pl.BlockSpec((1, ht, wp, n_out), lambda b, i: (b, i, 0, 0)))
         in_specs.append(
@@ -1083,9 +1176,16 @@ def make_folded_conv_bn3x3(
     stats: bool = False,
     h_tile: int | None = None,
     interpret: bool = False,
+    in_split: int | None = None,
 ):
     """Fused folded conv: optional BatchNorm-apply + ReLU folded into the
     slab read ("pre"), optional batch-statistic epilogue ("stats").
+
+    ``in_split``: the input is the VMEM lane concat of two arrays (see
+    :func:`make_folded_block`); the returned function takes
+    ``(x4a, x4b, kernel, bias)`` and dx comes back pre-split.  Only
+    supported without ``pre`` (the decoder concat inputs are already
+    activated).
 
     Returned function (argument/return structure depends on the flags):
 
@@ -1131,11 +1231,13 @@ def make_folded_conv_bn3x3(
     lane2chan = np.zeros((lanes, ci), np.float32)
     lane2chan[np.arange(lanes), chan_act] = 1.0
 
+    assert not (pre and in_split is not None)
+
     def _ab_pre(a, b, dtype):
         # per ACTUAL lane of x4 (the kernels activate the raw slab reads)
         return jnp.stack([a[chan_act], b[chan_act]]).astype(dtype)
 
-    def fwd_impl(x4, kernel, bias, a, b):
+    def fwd_impl(x4, x4b, kernel, bias, a, b):
         wm = _halo_matrices(kernel, f, x4.dtype)[:, row_map, :]
         bias_f = jnp.tile(bias, f).reshape(1, f * co).astype(jnp.float32)
         ab = _ab_pre(a, b, x4.dtype) if pre else None
@@ -1143,7 +1245,7 @@ def make_folded_conv_bn3x3(
             x4, wm, bias_f,
             fold=f, ci=ci, prev_runs=prev_runs, next_runs=next_runs,
             h_tile=h_tile, interpret=interpret,
-            ab_pre=ab, stats=stats,
+            ab_pre=ab, stats=stats, x4b=x4b,
         )
         if not stats:
             return res
@@ -1151,7 +1253,7 @@ def make_folded_conv_bn3x3(
         return y, s1l.reshape(f, co).sum(0), s2l.reshape(f, co).sum(0)
 
     def conv_bwd(res, ct):
-        x4, kernel, a, b, y = res
+        x4, x4b, kernel, a, b, y = res
         if stats:
             gy, gs1, gs2 = ct
             gyf = gy.astype(jnp.float32)
@@ -1183,42 +1285,62 @@ def make_folded_conv_bn3x3(
                 prev_runs=((((f - 1) * co), co),),
                 next_runs=((0, co),),
                 h_tile=h_tile, interpret=interpret,
+                split_out=(
+                    None if in_split is None
+                    else (in_split, lanes - in_split)
+                ),
             )
         # ---- dw/db on the (re-activated) slab
         ab = _ab_pre(a, b, x4.dtype) if pre else None
         dkp_k, db_f = _folded_wgrad_pallas(
             x4, ge,
             ci=ci, prev_runs=prev_runs, next_runs=next_runs,
-            h_tile=h_tile, interpret=interpret, ab_pre=ab,
+            h_tile=h_tile, interpret=interpret, ab_pre=ab, x4b=x4b,
         )
         dkp = dkp_k[:, inv_row_map, :]
         dw = _wgrad_from_halo(dkp, f, ci, co).astype(kernel.dtype)
         db = db_f.reshape(f, co).sum(axis=0)
         if pre:
             return dx, dw, db, da, dbp
+        if in_split is not None:
+            dxa, dxb = dx
+            return dxa, dxb, dw, db
         return dx, dw, db
 
     if pre:
         @jax.custom_vjp
         def conv(x4, kernel, bias, a, b):
-            return fwd_impl(x4, kernel, bias, a, b)
+            return fwd_impl(x4, None, kernel, bias, a, b)
 
         def conv_fwd(x4, kernel, bias, a, b):
-            out = fwd_impl(x4, kernel, bias, a, b)
+            out = fwd_impl(x4, None, kernel, bias, a, b)
             y = out[0] if stats else out
-            return out, (x4, kernel, a, b, y if stats else None)
+            return out, (x4, None, kernel, a, b, y if stats else None)
 
         conv.defvjp(conv_fwd, conv_bwd)
         return conv
 
+    if in_split is not None:
+        @jax.custom_vjp
+        def conv_dual(x4a, x4b, kernel, bias):
+            return fwd_impl(x4a, x4b, kernel, bias, None, None)
+
+        def conv_dual_fwd(x4a, x4b, kernel, bias):
+            out = fwd_impl(x4a, x4b, kernel, bias, None, None)
+            y = out[0] if stats else out
+            return out, (x4a, x4b, kernel, None, None, y if stats else None)
+
+        conv_dual.defvjp(conv_dual_fwd, conv_bwd)
+        return conv_dual
+
     @jax.custom_vjp
     def conv_nopre(x4, kernel, bias):
-        return fwd_impl(x4, kernel, bias, None, None)
+        return fwd_impl(x4, None, kernel, bias, None, None)
 
     def conv_nopre_fwd(x4, kernel, bias):
-        out = fwd_impl(x4, kernel, bias, None, None)
+        out = fwd_impl(x4, None, kernel, bias, None, None)
         y = out[0] if stats else out
-        return out, (x4, kernel, None, None, y if stats else None)
+        return out, (x4, None, kernel, None, None, y if stats else None)
 
     conv_nopre.defvjp(conv_nopre_fwd, conv_bwd)
     return conv_nopre
@@ -1233,6 +1355,7 @@ def make_folded_block(
     eps: float = 1e-5,
     h_tile: int | None = None,
     interpret: bool = False,
+    in_split: int | None = None,
 ):
     """The whole training-mode [Conv-BN-ReLU]x2 folded block as ONE
     custom-vjp node.
@@ -1254,6 +1377,14 @@ def make_folded_block(
     Returns ``block(x4, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2) ->
     (z, mean1, var1, mean2, var2)`` — the means/vars feed the module's
     running-average update (no gradient flows through them).
+
+    ``in_split`` (lane count of the first part): the block input is the
+    lane concat of TWO separately-stored arrays (the decoder's
+    [up | skip]) and the returned function takes ``(x4a, x4b, k1, ...)``;
+    the concat happens in VMEM on every kernel read and the input
+    gradient comes back pre-split ``(dxa, dxb, ...)`` — the 2C-lane concat
+    buffer (and its backward lane-split) never exist in HBM (~2.8 + 1.6
+    ms/step at B16 512^2, round-3 XProf ``pad_maximum`` / ``split`` ops).
 
     Reference parity: the composition equals reference ConvBlock
     (processing_blocks.py:21-52) on the folded layout; equivalence incl.
@@ -1285,7 +1416,7 @@ def make_folded_block(
         b = bias - mean * a
         return a, b, mean, var
 
-    def fwd_impl(x4, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2):
+    def fwd_impl(x4, x4b, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2):
         bsz, h, wp, _ = x4.shape
         n = bsz * h * wp * f
         dt = x4.dtype
@@ -1293,7 +1424,7 @@ def make_folded_block(
         b1f = jnp.tile(c1b, f).reshape(1, lanes2).astype(jnp.float32)
         y1, S1l, Q1l = _folded_conv_pallas(
             x4, wm1, b1f, fold=f, ci=ci, prev_runs=prev1, next_runs=next1,
-            h_tile=h_tile, interpret=interpret, stats=True,
+            h_tile=h_tile, interpret=interpret, stats=True, x4b=x4b,
         )
         S1 = S1l.reshape(f, co).sum(0)
         Q1 = Q1l.reshape(f, co).sum(0)
@@ -1318,22 +1449,14 @@ def make_folded_block(
         z = jnp.maximum(y2.astype(jnp.float32) * a2f + b2f, 0.0).astype(dt)
         out = (z, mean1, var1, mean2, var2)
         res = (
-            x4, y1, y2, k1, k2, S1, Q1, S2, Q2,
+            x4, x4b, y1, y2, k1, k2, S1, Q1, S2, Q2,
             scale1, bias1, scale2, bias2, a1, b1, a2, b2,
         )
         return out, res
 
-    @jax.custom_vjp
-    def block(x4, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2):
-        out, _ = fwd_impl(x4, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2)
-        return out
-
-    def block_fwd(x4, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2):
-        return fwd_impl(x4, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2)
-
     def block_bwd(res, ct):
         (
-            x4, y1, y2, k1, k2, S1, Q1, S2, Q2,
+            x4, x4b, y1, y2, k1, k2, S1, Q1, S2, Q2,
             scale1, bias1, scale2, bias2, a1, b1, a2, b2,
         ) = res
         dz, dmean1ct, dvar1ct, dmean2ct, dvar2ct = ct
@@ -1402,19 +1525,51 @@ def make_folded_block(
             gy1, wb1, zeros1, fold=f, ci=co, prev_runs=prev2, next_runs=next2,
             h_tile=h_tile, interpret=interpret,
             g_y=y1, gf_consts=gf1, gfold="stats",
+            split_out=(
+                None if in_split is None else (in_split, lanes1 - in_split)
+            ),
         )
         dkp1, dc1b_f = _folded_wgrad_pallas(
             x4, gy1, ci=ci, prev_runs=prev1, next_runs=next1,
             h_tile=h_tile, interpret=interpret,
-            g_y=y1, gf_consts=gf1, gfold="stats",
+            g_y=y1, gf_consts=gf1, gfold="stats", x4b=x4b,
         )
         dk1 = _wgrad_from_halo(
             dkp1[:, inv_row_map1, :], f, ci, co
         ).astype(k1.dtype)
         dc1b = dc1b_f.reshape(f, co).sum(0)
-        return (
-            dx4, dk1, dc1b, dk2, dc2b, dscale1, dbias1, dscale2, dbias2
+        tail = (dk1, dc1b, dk2, dc2b, dscale1, dbias1, dscale2, dbias2)
+        if in_split is None:
+            return (dx4,) + tail
+        return dx4 + tail  # dx4 == (dxa, dxb)
+
+    if in_split is None:
+        @jax.custom_vjp
+        def block(x4, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2):
+            out, _ = fwd_impl(
+                x4, None, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2
+            )
+            return out
+
+        def block_fwd(x4, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2):
+            return fwd_impl(
+                x4, None, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2
+            )
+
+        block.defvjp(block_fwd, block_bwd)
+        return block
+
+    @jax.custom_vjp
+    def block2(x4a, x4b, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2):
+        out, _ = fwd_impl(
+            x4a, x4b, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2
+        )
+        return out
+
+    def block2_fwd(x4a, x4b, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2):
+        return fwd_impl(
+            x4a, x4b, k1, c1b, k2, c2b, scale1, bias1, scale2, bias2
         )
 
-    block.defvjp(block_fwd, block_bwd)
-    return block
+    block2.defvjp(block2_fwd, block_bwd)
+    return block2
