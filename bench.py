@@ -52,6 +52,16 @@ def main() -> None:
             # 119.3 -> 123.3).  The refold-to-f variant (W2D_L1) stays off.
             "w2d_level1_fold2":
                 os.environ.get("IMGSEG_BENCH_W2D_L1F2", "1") == "1",
+            # Deep (wide-channel) levels through the fused f=1 ConvBN
+            # Pallas blocks (models/unet.py fused_deep): A/B hook.
+            # "1" = all levels, "enc3,dec2" = those levels, "0" = off.
+            "fused_deep": (
+                True
+                if os.environ.get("IMGSEG_BENCH_FUSED_DEEP", "0") == "1"
+                else os.environ.get("IMGSEG_BENCH_FUSED_DEEP")
+                if os.environ.get("IMGSEG_BENCH_FUSED_DEEP", "0") != "0"
+                else False
+            ),
         },
         data=DataConfig(
             dataset="synthetic",

@@ -356,15 +356,25 @@ class FoldedConvBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x4: jax.Array, x4b: jax.Array = None, *, train: bool = False
+        self, x4: jax.Array, x4b: jax.Array = None, *, train: bool = False,
+        raw_out: bool = False,
     ) -> jax.Array:
         """``x4b`` (optional): the input is the lane concat ``[x4 | x4b]``
         (the decoder's [up | skip]).  The fused impl joins the parts in
         VMEM on every kernel read (the concat buffer never exists in HBM);
-        other impls concatenate eagerly."""
+        other impls concatenate eagerly.
+
+        ``raw_out`` (fused impl only): return ``(y2_raw, ab)`` instead of
+        the activated output — y2_raw the second conv's raw output and ab
+        (2, f*C) f32 the resolved bn2 affine (dt-rounded) — for consumers
+        that compute ``relu(y2*a + b)`` on their own kernel read (the
+        pool's ``with_ab``), so the activated tensor never exists in HBM.
+        Gradients through ab flow back into the block as mean2/var2
+        cotangents (handled exactly by the block's custom VJP)."""
         f, feats = self.fold, self.features
         if self.impl == "pallas_fused":
-            return self._fused_forward(x4, x4b, train)
+            return self._fused_forward(x4, x4b, train, raw_out)
+        assert not raw_out, "raw_out requires impl='pallas_fused'"
         if x4b is not None:
             x4 = jnp.concatenate([x4, x4b.astype(x4.dtype)], axis=-1)
 
@@ -388,7 +398,8 @@ class FoldedConvBlock(nn.Module):
         return nn.relu(bn("bn2", h))
 
     def _fused_forward(
-        self, x4: jax.Array, x4b: jax.Array, train: bool
+        self, x4: jax.Array, x4b: jax.Array, train: bool,
+        raw_out: bool = False,
     ) -> jax.Array:
         """Fused Pallas path (same parameter tree as the standard path):
 
@@ -432,12 +443,19 @@ class FoldedConvBlock(nn.Module):
         x4 = x4.astype(self.dtype)
         if x4b is not None:
             x4b = x4b.astype(self.dtype)
+        def _ab_lanes(a2, b2):
+            # dt-rounded lane affine, f32 arithmetic — same discipline as
+            # the in-block activation, so consumers reproduce it exactly.
+            a2l = jnp.tile(a2, f).astype(self.dtype).astype(jnp.float32)
+            b2l = jnp.tile(b2, f).astype(self.dtype).astype(jnp.float32)
+            return jnp.stack([a2l, b2l])
+
         if train:
             scale1, bias1 = bn1(raw=True)
             scale2, bias2 = bn2(raw=True)
             block = make_folded_block(
                 cin, feats, f, in_perm=perm_t, eps=BN_EPS, interpret=interp,
-                in_split=in_split,
+                in_split=in_split, raw_out=raw_out,
             )
             z, mean1, var1, mean2, var2 = block(
                 *((x4,) if x4b is None else (x4, x4b)),
@@ -447,6 +465,13 @@ class FoldedConvBlock(nn.Module):
             # and dead-code eliminated).
             bn1(stats=(mean1, var1))
             bn2(stats=(mean2, var2))
+            if raw_out:
+                # Resolve bn2's affine OUTSIDE the custom-vjp node, from
+                # its differentiable (mean2, var2) outputs — the same
+                # formula as the in-block bn_scalars.
+                a2 = jax.lax.rsqrt(var2 + BN_EPS) * scale2
+                b2 = bias2 - mean2 * a2
+                return z, _ab_lanes(a2, b2)
             return z
         conv1 = make_folded_conv_bn3x3(
             cin, feats, f, in_perm=perm_t, pre=False, stats=False,
@@ -459,6 +484,8 @@ class FoldedConvBlock(nn.Module):
         )
         y2 = conv2(y1, k2, c2b, a1, b1)
         a2, b2 = bn2()
+        if raw_out:
+            return y2, _ab_lanes(a2, b2)
         a2f = jnp.tile(a2, f).astype(self.dtype)
         b2f = jnp.tile(b2, f).astype(self.dtype)
         return nn.relu(y2 * a2f + b2f)
@@ -586,10 +613,41 @@ class FoldedConvBlockDownsample(nn.Module):
 
     @nn.compact
     def __call__(self, x4: jax.Array, *, train: bool = False) -> jax.Array:
+        import os
+
+        if (
+            self.impl == "pallas_fused"
+            and self.fold > 1
+            and x4.shape[2] >= _pallas_min_wp("POOL")
+            and os.environ.get("IMGSEG_RAW_BLOCK_OUT", "1") == "1"
+        ):
+            # Raw-output boundary: the block returns its second conv RAW
+            # plus the resolved bn2 affine, and the pool computes
+            # relu(y*a+b) on its own VMEM read — the activated full-res
+            # tensor (whose only consumer is this pool, an XLA-opaque
+            # custom call) never exists in HBM.  Silicon A/B (2026-08-18,
+            # B16 @ 512^2): headline 128.75 -> 134.51 img/s; default ON.
+            from ..ops.pallas_conv import make_folded_pool
+
+            y2, ab2 = FoldedConvBlock(
+                self.in_features, self.features, self.fold, self.dtype,
+                impl=self.impl, name="conv_block",
+            )(x4, train=train, raw_out=True)
+            interp = jax.default_backend() not in ("tpu", "axon")
+            return make_folded_pool(
+                self.features, self.fold, interpret=interp, with_ab=True
+            )(y2, ab2)
         h = FoldedConvBlock(
             self.in_features, self.features, self.fold, self.dtype,
             impl=self.impl, name="conv_block",
         )(x4, train=train)
+        if self.fold == 1:
+            # fold 1 == plain NHWC (the ``fused_deep`` wide-channel levels):
+            # width pairs are adjacent wp positions, not lane slots — the
+            # standard spatial pool applies.
+            from .blocks import max_pool_2x2
+
+            return max_pool_2x2(h)
         if self.impl == "pallas_fused" and h.shape[2] >= _pallas_min_wp("POOL"):
             # Pallas pool: identical values; its hand-written backward
             # replaces XLA's select/pad/interleave chain (~9 ms/step at
@@ -647,6 +705,25 @@ class FoldedConvBlockUpsampleSkip(nn.Module):
     def __call__(
         self, x: jax.Array, skip4: jax.Array, *, train: bool = False
     ) -> jax.Array:
+        if self.fold == 1:
+            # fold 1 == plain NHWC (the ``fused_deep`` wide-channel
+            # levels): standard ConvTranspose + the reference's
+            # align-corners resize (non-identity only at dec1, where the
+            # skip lives at the bottleneck's resolution — UNet.py:69-72),
+            # then the dual-input fused block joins [up | skip] in VMEM.
+            from .blocks import resize_bilinear_align_corners
+
+            up = nn.ConvTranspose(
+                self.features, (2, 2), strides=(2, 2), padding="VALID",
+                dtype=self.dtype, name="up",
+            )(x)
+            up = resize_bilinear_align_corners(
+                up, skip4.shape[1], skip4.shape[2]
+            )
+            return FoldedConvBlock(
+                2 * self.features, self.features, 1, self.dtype,
+                impl=self.impl, name="conv_block",
+            )(up, skip4, train=train)
         up4 = FoldedConvTranspose2x2(
             self.in_features, self.features, self.fold, self.dtype,
             impl=self.impl, in_folded=self.in_folded, name="up",

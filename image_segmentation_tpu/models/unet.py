@@ -57,6 +57,18 @@ class UNet(nn.Module):
     # ops/pallas_conv.py), or "pallas_fused" (additionally fuses BN stats
     # + BN-apply/ReLU into the conv kernels).
     w2d_impl: str = "dense"
+    # Run the deep (wide-channel, unfolded) levels through the fused
+    # ConvBN Pallas blocks at fold=1 too.  At f=1 the halo formulation is
+    # EXACTLY the logical 3x3 FLOPs (overhead (f+2)/3 = 1) and "folded"
+    # layout == plain NHWC, so the same kernels apply verbatim; the win is
+    # swallowing the deep levels' BN stats/apply/ReLU elementwise (round-3
+    # XProf: ~5 ms/step of unfused reductions at C>=256).  Blocks whose
+    # expanded kernels exceed the VMEM budget (the 1024-wide bottleneck,
+    # dec1's 1024-lane conv1) automatically stay on the standard XLA path.
+    # Requires w2d_impl="pallas_fused".  True = all deep levels; a
+    # comma-joined string or tuple of module names ("enc3,dec2") selects
+    # individual levels (A/B surface — per-level verdicts differ).
+    fused_deep: Any = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -146,25 +158,64 @@ class UNet(nn.Module):
             first_std_enc = 2
             skips = [None, h]  # enc1 (unfolded) is dec_{N-1}'s skip
 
+        def _fd_on(name: str) -> bool:
+            if self.w2d_impl != "pallas_fused" or not self.fused_deep:
+                return False
+            if self.fused_deep is True:
+                return True
+            names = (
+                self.fused_deep.split(",")
+                if isinstance(self.fused_deep, str)
+                else self.fused_deep
+            )
+            return name in names
+
+        def _fused_fits(cin: int, feats: int) -> bool:
+            # Per-conv Pallas weight operand: (3, 3*ci, co) bf16, loaded
+            # whole into VMEM each grid step — cap it so weights + the
+            # double-buffered slabs stay under the ~16 MiB scoped limit.
+            per = max(3 * (3 * cin) * feats, 3 * (3 * feats) * feats) * 2
+            return per <= 6 * 2**20
+
         for i, feats in enumerate(
             self.encoder_features[first_std_enc - 1:], start=first_std_enc
         ):
-            h = ConvBlockDownsample(feats, dtype=self.dtype, name=f"enc{i}")(
-                h, train=train
-            )
+            cin = int(h.shape[-1])
+            if _fd_on(f"enc{i}") and _fused_fits(cin, feats):
+                h = folded.FoldedConvBlockDownsample(
+                    cin, feats, 1, self.dtype, impl=self.w2d_impl,
+                    name=f"enc{i}",
+                )(h, train=train)
+            else:
+                h = ConvBlockDownsample(
+                    feats, dtype=self.dtype, name=f"enc{i}"
+                )(h, train=train)
             skips.append(h)
 
-        h = ConvBlock(
-            2 * self.encoder_features[-1], dtype=self.dtype, name="bottleneck"
-        )(h, train=train)
+        bneck_feats = 2 * self.encoder_features[-1]
+        if _fd_on("bottleneck") and _fused_fits(int(h.shape[-1]), bneck_feats):
+            h = folded.FoldedConvBlock(
+                int(h.shape[-1]), bneck_feats, 1, self.dtype,
+                impl=self.w2d_impl, name="bottleneck",
+            )(h, train=train)
+        else:
+            h = ConvBlock(
+                bneck_feats, dtype=self.dtype, name="bottleneck"
+            )(h, train=train)
 
         dec_feats = list(self.encoder_features[::-1]) + [stem_c]
         n_folded_dec = 2 if (fold_l1 or fold_l1_2) else 1
         for i, feats in enumerate(dec_feats[:-n_folded_dec]):
             skip = skips[-(i + 1)]
-            h = ConvBlockUpsampleSkip(feats, dtype=self.dtype, name=f"dec{i + 1}")(
-                h, skip, train=train
-            )
+            if _fd_on(f"dec{i + 1}") and _fused_fits(2 * feats, feats):
+                h = folded.FoldedConvBlockUpsampleSkip(
+                    int(h.shape[-1]), feats, 1, self.dtype,
+                    impl=self.w2d_impl, name=f"dec{i + 1}",
+                )(h, skip, train=train)
+            else:
+                h = ConvBlockUpsampleSkip(
+                    feats, dtype=self.dtype, name=f"dec{i + 1}"
+                )(h, skip, train=train)
 
         dec5_in_folded = False
         if fold_l1_2:

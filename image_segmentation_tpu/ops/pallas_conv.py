@@ -755,11 +755,27 @@ def _bn_relu_bwd_reduce_pallas(
     return da[0], db[0]
 
 
-def _pool_fwd_kernel_body(z_ref, p_ref, *, ht_o: int, wp: int, c: int, f: int):
+def _pool_fwd_kernel_body(
+    z_ref, *refs, ht_o: int, wp: int, c: int, f: int, ab: bool = False
+):
     """Folded 2x2 max-pool forward on a (2*ht_o, wp, f*c) tile: channel-
-    slot-pair max then row-pair max (models/folded.folded_max_pool_2x2)."""
+    slot-pair max then row-pair max (models/folded.folded_max_pool_2x2).
+
+    ``ab``: the input is the RAW second-conv output of a fused block
+    (models/folded.FoldedConvBlock raw_out); its BatchNorm-affine + ReLU
+    ``u = relu(z*a + b)`` is computed here on the VMEM read, so the
+    activated full-resolution tensor never exists in HBM (round-3 XProf:
+    ~2.5 ms/step of affine+ReLU+cast fusions at 512^2 b16 whose only
+    consumer is this pool — a custom call XLA cannot fuse into)."""
     half = f // 2
+    it = iter(refs)
+    ab_ref = next(it) if ab else None
+    p_ref = next(it)
     z = z_ref[0].astype(jnp.float32)
+    if ab:
+        av = ab_ref[0:1].reshape(1, 1, f * c)
+        bv = ab_ref[1:2].reshape(1, 1, f * c)
+        z = jnp.maximum(z * av + bv, 0.0)
     cols = [
         jnp.maximum(
             z[..., (2 * t) * c : (2 * t + 1) * c],
@@ -773,15 +789,34 @@ def _pool_fwd_kernel_body(z_ref, p_ref, *, ht_o: int, wp: int, c: int, f: int):
 
 
 def _pool_bwd_kernel_body(
-    z_ref, dp_ref, dz_ref, *, ht_o: int, wp: int, c: int, f: int
+    z_ref, dp_ref, *refs, ht_o: int, wp: int, c: int, f: int, ab: bool = False
 ):
     """Route ``dp`` to the argmax positions in ONE pass over (z, dp) —
     first-match ties (row 2R before 2R+1; slot 2t before 2t+1), replacing
-    XLA's select/pad/interleave backward chain (~9 ms/step at 512^2 b16)."""
+    XLA's select/pad/interleave backward chain (~9 ms/step at 512^2 b16).
+
+    ``ab``: the forward pooled ``u = relu(z*a + b)`` computed on read
+    (see :func:`_pool_fwd_kernel_body`); the routed cotangent is then
+    pushed through the activation adjoint in the same pass —
+    ``dz = P*a`` with ``P = routed * (z*a + b > 0)`` — and the per-lane
+    affine reductions ``da += sum(P*z)``, ``db += sum(P)`` accumulate
+    grid-wide (VMEM-revisiting outputs, like the wgrad accumulators)."""
     half = f // 2
     hc = half * c
-    z = z_ref[0].astype(jnp.float32)  # (2*ht_o, wp, f*c); f32 compares
+    it = iter(refs)
+    ab_ref = next(it) if ab else None
+    dz_ref = next(it)
+    da_ref = next(it) if ab else None
+    db_ref = next(it) if ab else None
+    zraw = z_ref[0].astype(jnp.float32)  # (2*ht_o, wp, f*c); f32 compares
     dp = dp_ref[0].astype(jnp.float32)  # (ht_o, wp, hc)
+    if ab:
+        av = ab_ref[0:1].reshape(1, 1, f * c)
+        bv = ab_ref[1:2].reshape(1, 1, f * c)
+        pre = zraw * av + bv
+        z = jnp.maximum(pre, 0.0)
+    else:
+        z = zraw
     a = [z[..., (2 * t) * c : (2 * t + 1) * c] for t in range(half)]
     b = [z[..., (2 * t + 1) * c : (2 * t + 2) * c] for t in range(half)]
     ca = [x >= y for x, y in zip(a, b)]
@@ -801,12 +836,29 @@ def _pool_bwd_kernel_body(
         zt = jnp.zeros_like(dmt)
         parts.append(jnp.where(ca[t], dmt, zt))
         parts.append(jnp.where(ca[t], zt, dmt))
-    dz_ref[0] = jnp.concatenate(parts, axis=-1).astype(dz_ref.dtype)
+    routed = jnp.concatenate(parts, axis=-1)
+    if not ab:
+        dz_ref[0] = routed.astype(dz_ref.dtype)
+        return
+    P = jnp.where(pre > 0.0, routed, 0.0)
+    dz_ref[0] = (P * av).astype(dz_ref.dtype)
+
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(bi == 0, i == 0))
+    def _():
+        da_ref[...] = jnp.zeros_like(da_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    da_ref[0] = da_ref[0] + jnp.sum(P * zraw, axis=(0, 1))
+    db_ref[0] = db_ref[0] + jnp.sum(P, axis=(0, 1))
 
 
 @functools.lru_cache(maxsize=None)
 def make_folded_pool(
-    c: int, f: int = 4, h_tile: int | None = None, interpret: bool = False
+    c: int, f: int = 4, h_tile: int | None = None, interpret: bool = False,
+    with_ab: bool = False,
 ):
     """Differentiable folded 2x2 max-pool as Pallas fwd/bwd kernels.
 
@@ -815,10 +867,17 @@ def make_folded_pool(
     uses first-match tie routing like reduce_window's select-and-scatter).
     Reference: torch F.max_pool2d in ConvBlockDownSample
     (processing_blocks.py:55-77) on the folded layout.
+
+    ``with_ab``: ``pool(z4, ab) -> p4`` where z4 is the RAW second-conv
+    output of a fused block and ab (2, f*c) f32 its BatchNorm-affine;
+    ``relu(z*a + b)`` is computed on the kernels' VMEM reads (fwd and the
+    backward's recompute) and the backward additionally returns the
+    per-lane affine cotangent (2, f*c) — so the activated full-res tensor
+    never exists in HBM in either direction.
     """
     half = f // 2
 
-    def _fwd_pallas(z4):
+    def _fwd_pallas(z4, ab=None):
         bsz, h, wp, lanes = z4.shape
         ho = h // 2
         ht_o = h_tile or next(
@@ -826,14 +885,20 @@ def make_folded_pool(
             if ho % t == 0
             and 2 * t * wp * lanes * 12 <= 12 * 1024 * 1024
         )
+        in_specs = [
+            pl.BlockSpec((1, 2 * ht_o, wp, lanes), lambda b, i: (b, i, 0, 0))
+        ]
+        args = [z4]
+        if with_ab:
+            in_specs.append(pl.BlockSpec((2, lanes), lambda b, i: (0, 0)))
+            args.append(ab)
         return pl.pallas_call(
             functools.partial(
-                _pool_fwd_kernel_body, ht_o=ht_o, wp=wp, c=c, f=f
+                _pool_fwd_kernel_body, ht_o=ht_o, wp=wp, c=c, f=f,
+                ab=with_ab,
             ),
             grid=(bsz, ho // ht_o),
-            in_specs=[
-                pl.BlockSpec((1, 2 * ht_o, wp, lanes), lambda b, i: (b, i, 0, 0))
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, ht_o, wp, half * c), lambda b, i: (b, i, 0, 0)
             ),
@@ -846,7 +911,72 @@ def make_folded_pool(
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(z4)
+        )(*args)
+
+    def _bwd_pallas(z4, ab, dp):
+        bsz, h, wp, lanes = z4.shape
+        ho = h // 2
+        ht_o = h_tile or next(
+            t for t in (16, 8, 4, 2, 1)
+            if ho % t == 0
+            and 2 * t * wp * lanes * 16 <= 12 * 1024 * 1024
+        )
+        in_specs = [
+            pl.BlockSpec((1, 2 * ht_o, wp, lanes), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, ht_o, wp, half * c), lambda b, i: (b, i, 0, 0)),
+        ]
+        args = [z4, dp]
+        out_specs = [
+            pl.BlockSpec((1, 2 * ht_o, wp, lanes), lambda b, i: (b, i, 0, 0)),
+        ]
+        out_shape = [jax.ShapeDtypeStruct(z4.shape, z4.dtype)]
+        if with_ab:
+            in_specs.append(pl.BlockSpec((2, lanes), lambda b, i: (0, 0)))
+            args.append(ab)
+            out_specs.extend([
+                pl.BlockSpec((1, lanes), lambda b, i: (0, 0)),
+                pl.BlockSpec((1, lanes), lambda b, i: (0, 0)),
+            ])
+            out_shape.extend([
+                jax.ShapeDtypeStruct((1, lanes), jnp.float32),
+                jax.ShapeDtypeStruct((1, lanes), jnp.float32),
+            ])
+        res = pl.pallas_call(
+            functools.partial(
+                _pool_bwd_kernel_body, ht_o=ht_o, wp=wp, c=c, f=f,
+                ab=with_ab,
+            ),
+            grid=(bsz, ho // ht_o),
+            in_specs=in_specs,
+            out_specs=out_specs if with_ab else out_specs[0],
+            out_shape=out_shape if with_ab else out_shape[0],
+            cost_estimate=pl.CostEstimate(
+                flops=4 * z4.size,
+                bytes_accessed=z4.size * z4.dtype.itemsize * 5 // 2,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*args)
+        if not with_ab:
+            return res, None
+        dz, da, db = res
+        return dz, jnp.concatenate([da, db], axis=0)
+
+    if with_ab:
+        @jax.custom_vjp
+        def pool_ab(z4, ab):
+            return _fwd_pallas(z4, ab)
+
+        def pool_ab_fwd(z4, ab):
+            return _fwd_pallas(z4, ab), (z4, ab)
+
+        def pool_ab_bwd(res, dp):
+            z4, ab = res
+            dz, dab = _bwd_pallas(z4, ab, dp)
+            return dz, dab
+
+        pool_ab.defvjp(pool_ab_fwd, pool_ab_bwd)
+        return pool_ab
 
     @jax.custom_vjp
     def pool(z4):
@@ -856,37 +986,7 @@ def make_folded_pool(
         return _fwd_pallas(z4), z4
 
     def pool_bwd(z4, dp):
-        bsz, h, wp, lanes = z4.shape
-        ho = h // 2
-        ht_o = h_tile or next(
-            t for t in (16, 8, 4, 2, 1)
-            if ho % t == 0
-            and 2 * t * wp * lanes * 16 <= 12 * 1024 * 1024
-        )
-        dz = pl.pallas_call(
-            functools.partial(
-                _pool_bwd_kernel_body, ht_o=ht_o, wp=wp, c=c, f=f
-            ),
-            grid=(bsz, ho // ht_o),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 2 * ht_o, wp, lanes), lambda b, i: (b, i, 0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, ht_o, wp, half * c), lambda b, i: (b, i, 0, 0)
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 2 * ht_o, wp, lanes), lambda b, i: (b, i, 0, 0)
-            ),
-            out_shape=jax.ShapeDtypeStruct(z4.shape, z4.dtype),
-            cost_estimate=pl.CostEstimate(
-                flops=4 * z4.size,
-                bytes_accessed=z4.size * z4.dtype.itemsize * 5 // 2,
-                transcendentals=0,
-            ),
-            interpret=interpret,
-        )(z4, dp)
+        dz, _ = _bwd_pallas(z4, None, dp)
         return (dz,)
 
     pool.defvjp(pool_fwd, pool_bwd)
@@ -1356,6 +1456,7 @@ def make_folded_block(
     h_tile: int | None = None,
     interpret: bool = False,
     in_split: int | None = None,
+    raw_out: bool = False,
 ):
     """The whole training-mode [Conv-BN-ReLU]x2 folded block as ONE
     custom-vjp node.
@@ -1444,9 +1545,17 @@ def make_folded_block(
         # forward activation and the backward ReLU gating agree bit-for-bit
         # at borderline positions in bf16 too (layer 1 already works this
         # way via ab1 + the in-kernel f32 act()).
-        a2f = jnp.tile(a2, f).astype(dt).astype(jnp.float32)
-        b2f = jnp.tile(b2, f).astype(dt).astype(jnp.float32)
-        z = jnp.maximum(y2.astype(jnp.float32) * a2f + b2f, 0.0).astype(dt)
+        if raw_out:
+            # bn2-apply + ReLU are computed by the CONSUMER's kernel read
+            # (e.g. the pool's with_ab mode) from the returned batch stats;
+            # the activated tensor never exists in HBM.
+            z = y2
+        else:
+            a2f = jnp.tile(a2, f).astype(dt).astype(jnp.float32)
+            b2f = jnp.tile(b2, f).astype(dt).astype(jnp.float32)
+            z = jnp.maximum(
+                y2.astype(jnp.float32) * a2f + b2f, 0.0
+            ).astype(dt)
         out = (z, mean1, var1, mean2, var2)
         res = (
             x4, x4b, y1, y2, k1, k2, S1, Q1, S2, Q2,
@@ -1464,26 +1573,39 @@ def make_folded_block(
         n = bsz * h * wp * f
         dt = x4.dtype
 
-        # bn2 affine-relu backward reductions: one Pallas reduction pass
-        # over (dz, y2) instead of XLA's full-tensor select + reduce.
-        # dt-rounded scalars to match the forward's activation mask exactly.
-        a2l = jnp.tile(a2, f).astype(dt).astype(jnp.float32)
-        b2l = jnp.tile(b2, f).astype(dt).astype(jnp.float32)
-        ab2 = jnp.stack([a2l, b2l])
-        da2_l, db2_l = _bn_relu_bwd_reduce_pallas(
-            dz, y2, ab2, h_tile=h_tile, interpret=interpret
-        )
-        da2 = da2_l.reshape(f, co).sum(0)
-        db2 = db2_l.reshape(f, co).sum(0)
+        if raw_out:
+            # The affine-relu adjoint happened in the CONSUMER's backward
+            # (dz is already the cotangent on RAW y2, and da2/db2 flow to
+            # scale2/bias2 through the module-level affine formulas as
+            # mean2/var2 cotangents).  Only the batch-stat fold remains.
+            da2 = db2 = jnp.zeros_like(S2)
+        else:
+            # bn2 affine-relu backward reductions: one Pallas reduction
+            # pass over (dz, y2) instead of XLA's full-tensor select +
+            # reduce.  dt-rounded scalars to match the forward's
+            # activation mask exactly.
+            a2l = jnp.tile(a2, f).astype(dt).astype(jnp.float32)
+            b2l = jnp.tile(b2, f).astype(dt).astype(jnp.float32)
+            ab2 = jnp.stack([a2l, b2l])
+            da2_l, db2_l = _bn_relu_bwd_reduce_pallas(
+                dz, y2, ab2, h_tile=h_tile, interpret=interpret
+            )
+            da2 = da2_l.reshape(f, co).sum(0)
+            db2 = db2_l.reshape(f, co).sum(0)
 
         _, pull2 = jax.vjp(
             lambda S, Q, sc, bi: bn_scalars(S, Q, sc, bi, n),
             S2, Q2, scale2, bias2,
         )
         dS2, dQ2, dscale2, dbias2 = pull2((da2, db2, dmean2ct, dvar2ct))
-        gf2 = jnp.stack(
-            [a2l, b2l, jnp.tile(dS2, f), jnp.tile(dQ2, f)]
-        ).astype(jnp.float32)
+        if raw_out:
+            gf2 = jnp.stack(
+                [jnp.tile(dS2, f), jnp.tile(dQ2, f)]
+            ).astype(jnp.float32)
+        else:
+            gf2 = jnp.stack(
+                [a2l, b2l, jnp.tile(dS2, f), jnp.tile(dQ2, f)]
+            ).astype(jnp.float32)
 
         # conv2 dx: ge2 computed on slab read; pre-op adjoint emits gy1
         # plus the bn1 affine reductions grid-wide.
@@ -1495,12 +1617,13 @@ def make_folded_block(
             dz, wb2, zeros2, fold=f, ci=co, prev_runs=prev2, next_runs=next2,
             h_tile=h_tile, interpret=interpret,
             x_post=y1, ab_post=ab1,
-            g_y=y2, gf_consts=gf2, gfold="affine",
+            g_y=y2, gf_consts=gf2, gfold="stats" if raw_out else "affine",
         )
         dkp2, dc2b_f = _folded_wgrad_pallas(
             y1, dz, ci=co, prev_runs=prev2, next_runs=next2,
             h_tile=h_tile, interpret=interpret,
-            ab_pre=ab1, g_y=y2, gf_consts=gf2, gfold="affine",
+            ab_pre=ab1, g_y=y2, gf_consts=gf2,
+            gfold="stats" if raw_out else "affine",
         )
         dk2 = _wgrad_from_halo(dkp2, f, co, co).astype(k2.dtype)
         dc2b = dc2b_f.reshape(f, co).sum(0)

@@ -421,3 +421,76 @@ class TestFoldedLevel1Fold2:
                 np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-4,
                 err_msg=jax.tree_util.keystr(kp),
             )
+
+
+class TestFusedDeep:
+    """fused_deep: the deep (wide-channel, unfolded) levels through the
+    fused ConvBN Pallas blocks at fold=1 (models/unet.py).  At f=1 the
+    halo formulation is exactly the logical 3x3 FLOPs and the "folded"
+    layout is plain NHWC; equivalence incl. gradients and batch stats
+    under the shared parameter tree, vs the fully standard model."""
+
+    def test_matches_standard_eval_train_grads(self, monkeypatch):
+        monkeypatch.setenv("IMGSEG_PALLAS_MIN_WP", "1")
+        kw = dict(stem_features=8, encoder_features=(16, 32, 64))
+        std = UNet(out_channels=3, dtype=jnp.float32, **kw)
+        fast = UNet(out_channels=3, dtype=jnp.float32, w2d_level0=True,
+                    w2d_level1_fold2=True, w2d_impl="pallas_fused",
+                    fused_deep=True, **kw)
+        x = rand((2, 64, 64, 3))
+        variables = std.init(KEY, x, train=False)
+        assert jax.tree_util.tree_structure(variables) == (
+            jax.tree_util.tree_structure(fast.init(KEY, x, train=False))
+        )
+        ref = std.apply(variables, x, train=False)
+        out = fast.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
+
+        o1, m1 = std.apply(variables, x, train=True, mutable=["batch_stats"])
+        o2, m2 = fast.apply(variables, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), **TOL)
+        for a, b in zip(
+            jax.tree.leaves(m1["batch_stats"]), jax.tree.leaves(m2["batch_stats"])
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
+
+        g = rand(o1.shape)
+
+        def loss(model, p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out * g)
+
+        g1 = jax.grad(lambda p: loss(std, p))(variables["params"])
+        g2 = jax.grad(lambda p: loss(fast, p))(variables["params"])
+        for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g1),
+            jax.tree_util.tree_leaves_with_path(g2),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-4,
+                err_msg=jax.tree_util.keystr(kp),
+            )
+
+    def test_vmem_gate_keeps_wide_blocks_standard(self):
+        """Blocks whose expanded kernels exceed the VMEM budget must fall
+        back to the standard XLA path (same tree, so only observable via
+        the absence of Pallas lowering at init — here we just check the
+        tree is shared and the model still runs with production widths
+        where the 1024-wide bottleneck is gated out)."""
+        from image_segmentation_tpu.models.unet import LargeUNet
+
+        kw = dict(out_channels=3, dtype=jnp.float32)
+        std = LargeUNet(**kw)
+        fast = LargeUNet(w2d_level0=True, w2d_level1_fold2=True,
+                         w2d_impl="pallas_fused", fused_deep=True, **kw)
+        x = rand((1, 64, 64, 3))
+        variables = std.init(KEY, x, train=False)
+        assert jax.tree_util.tree_structure(variables) == (
+            jax.tree_util.tree_structure(fast.init(KEY, x, train=False))
+        )
+        out = fast.apply(variables, x, train=False)
+        ref = std.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)

@@ -385,3 +385,66 @@ class TestFoldedConvTransposePallas:
                 np.asarray(flat_f[jax.tree_util.keystr(k)]),
                 rtol=5e-4, atol=5e-4, err_msg=jax.tree_util.keystr(k),
             )
+
+
+class TestRawBlockOut:
+    """IMGSEG_RAW_BLOCK_OUT: the encoder block returns its second conv RAW
+    plus the resolved bn2 affine, and the Pallas pool computes
+    relu(y*a + b) on its own VMEM read (make_folded_pool with_ab) — the
+    activated full-resolution tensor never exists in HBM.  Equivalence
+    incl. ALL gradients (the affine cotangent flows back into the block's
+    custom VJP as mean2/var2 cotangents) vs both the eager fused path and
+    the dense impl, under the shared parameter tree."""
+
+    def _losses(self, raw, monkeypatch):
+        monkeypatch.setenv("IMGSEG_PALLAS_MIN_WP", "1")
+        monkeypatch.setenv("IMGSEG_RAW_BLOCK_OUT", "1" if raw else "0")
+        from image_segmentation_tpu.models.blocks import ConvBlockDownsample
+
+        x = jax.random.normal(
+            jax.random.PRNGKey(7), (2, 16, 16, 8), jnp.float32
+        )
+        std = ConvBlockDownsample(16, dtype=jnp.float32)
+        variables = std.init(KEY, x, train=False)
+        x4 = w2d(x)
+        g = jax.random.normal(
+            jax.random.PRNGKey(8), (2, 8, 4, 32), jnp.float32
+        )
+        m = folded.FoldedConvBlockDownsample(
+            8, 16, dtype=jnp.float32, impl="pallas_fused"
+        )
+
+        def loss(params):
+            out, upd = m.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x4, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out * g), (out, upd)
+
+        (_, (out, upd)), grads = jax.value_and_grad(loss, has_aux=True)(
+            variables["params"]
+        )
+        ev = m.apply(variables, x4, train=False)
+        return out, upd, grads, ev
+
+    def test_matches_eager_fused_path(self, monkeypatch):
+        o0, u0, g0, e0 = self._losses(False, monkeypatch)
+        o1, u1, g1, e1 = self._losses(True, monkeypatch)
+        np.testing.assert_allclose(
+            np.asarray(o1), np.asarray(o0), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(e1), np.asarray(e0), rtol=1e-5, atol=1e-5
+        )
+        for a, b in zip(jax.tree.leaves(u0), jax.tree.leaves(u1)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-5
+            )
+        for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-5,
+                err_msg=jax.tree_util.keystr(kp),
+            )

@@ -285,3 +285,57 @@ def test_folded_dual_input_block_native(tpu_backend):
     np.testing.assert_allclose(
         np.asarray(ed), np.asarray(ef), rtol=2e-2, atol=2e-2
     )
+
+
+@requires_real_tpu
+def test_raw_block_out_pool_native(tpu_backend):
+    """Native compile of the raw-output block boundary: the fused block's
+    raw_out + the pool's with_ab (activation computed on the pool kernels'
+    VMEM reads, affine cotangent accumulated grid-wide) vs the eager fused
+    path, values and all gradients."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_segmentation_tpu.models import folded
+    from image_segmentation_tpu.models.folded import w2d
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 16),
+                          jnp.float32)
+    x4 = w2d(x)
+    g = jax.random.normal(jax.random.PRNGKey(4), (2, 32, 16, 64),
+                          jnp.float32)
+
+    def run(raw):
+        os.environ["IMGSEG_RAW_BLOCK_OUT"] = "1" if raw else "0"
+        os.environ["IMGSEG_PALLAS_MIN_WP"] = "1"
+        m = folded.FoldedConvBlockDownsample(
+            16, 32, dtype=jnp.float32, impl="pallas_fused"
+        )
+        v = m.init(jax.random.PRNGKey(5), x4, train=False)
+
+        def loss(p):
+            out, _ = m.apply(
+                {"params": p, "batch_stats": v["batch_stats"]},
+                x4, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out * g)
+
+        grads = jax.jit(jax.grad(loss))(v["params"])
+        ev = jax.jit(lambda: m.apply(v, x4, train=False))()
+        return grads, ev
+
+    try:
+        g0, e0 = run(False)
+        g1, e1 = run(True)
+    finally:
+        os.environ.pop("IMGSEG_RAW_BLOCK_OUT", None)
+        os.environ.pop("IMGSEG_PALLAS_MIN_WP", None)
+    np.testing.assert_allclose(
+        np.asarray(e1), np.asarray(e0), rtol=3e-2, atol=3e-2
+    )
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=4e-2, atol=2e-2
+        )
