@@ -85,6 +85,26 @@ class ConvBlockDownsample(nn.Module):
         return max_pool_2x2(x)
 
 
+def _resize_axis_matrix(in_size: int, out_size: int) -> jax.Array:
+    """(out_size, in_size) f32 two-tap interpolation matrix with
+    ``align_corners=True`` weights (row o: (1-frac) at lo, frac at hi)."""
+    import numpy as np
+
+    m = np.zeros((out_size, in_size), np.float32)
+    if out_size == 1 or in_size == 1:
+        m[:, 0] = 1.0
+        return jnp.asarray(m)
+    src = np.arange(out_size, dtype=np.float64) * (
+        (in_size - 1) / (out_size - 1)
+    )
+    lo = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    frac = (src - lo).astype(np.float32)
+    m[np.arange(out_size), lo] += 1.0 - frac
+    m[np.arange(out_size), hi] += frac
+    return jnp.asarray(m)
+
+
 def resize_bilinear_align_corners(x: jax.Array, height: int, width: int) -> jax.Array:
     """Bilinear NHWC resize with ``align_corners=True`` semantics.
 
@@ -92,33 +112,28 @@ def resize_bilinear_align_corners(x: jax.Array, height: int, width: int) -> jax.
     reference processing_blocks.py:107.  Identity when the size already
     matches (the common case for power-of-two U-Net shapes), which XLA folds
     away entirely.
+
+    TPU note: implemented as two dense two-tap-matrix contractions (static
+    shapes) rather than gathers — the transpose of a contraction is a
+    contraction, so the BACKWARD is matmuls too instead of XLA's
+    gather/scatter-add chain (round-3 XProf: ~1.3 ms/step of dec1 resize
+    grads at 512^2 b16).  HIGHEST matmul precision keeps the two-tap
+    arithmetic exact in f32 (negligible FLOPs at these sizes).
     """
     _, h, w, _ = x.shape
     if (h, w) == (height, width):
         return x
 
-    def axis_weights(in_size: int, out_size: int):
-        if out_size == 1 or in_size == 1:
-            src = jnp.zeros((out_size,), jnp.float32)
-        else:
-            src = jnp.arange(out_size, dtype=jnp.float32) * (
-                (in_size - 1) / (out_size - 1)
-            )
-        lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
-        hi = jnp.clip(lo + 1, 0, in_size - 1)
-        frac = src - lo.astype(jnp.float32)
-        return lo, hi, frac
-
-    ylo, yhi, yf = axis_weights(h, height)
-    xlo, xhi, xf = axis_weights(w, width)
     dtype = x.dtype
+    my = _resize_axis_matrix(h, height)
+    mx = _resize_axis_matrix(w, width)
     xf32 = x.astype(jnp.float32)
-    top = xf32[:, ylo, :, :] * (1.0 - yf)[None, :, None, None] + xf32[
-        :, yhi, :, :
-    ] * yf[None, :, None, None]
-    out = top[:, :, xlo, :] * (1.0 - xf)[None, None, :, None] + top[
-        :, :, xhi, :
-    ] * xf[None, None, :, None]
+    top = jnp.einsum(
+        "oh,bhwc->bowc", my, xf32, precision=jax.lax.Precision.HIGHEST
+    )
+    out = jnp.einsum(
+        "ow,bhwc->bhoc", mx, top, precision=jax.lax.Precision.HIGHEST
+    )
     return out.astype(dtype)
 
 
