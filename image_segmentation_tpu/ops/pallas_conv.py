@@ -59,6 +59,39 @@ from jax.experimental import pallas as pl
 _FATDOT = os.environ.get("IMGSEG_PALLAS_FATDOT", "0") == "1"
 
 
+def _subfold_enabled() -> bool:
+    """Sub-fold banded decomposition (see :func:`_pick_subfold`) — default
+    ON since the round-3 silicon A/B; ``IMGSEG_PALLAS_SUBFOLD=0`` opts out."""
+    return os.environ.get("IMGSEG_PALLAS_SUBFOLD", "1") == "1"
+
+
+def _pick_subfold(fold: int, co: int, canonical: bool) -> int:
+    """Sub-block width ``g`` for the banded dot decomposition.
+
+    The dense halo dot executes ``(f+2)/3`` x the logical FLOPs because the
+    ((f+2)Ci, fCo) matrix is block-banded: output slot q only reaches input
+    slots q..q+2, so only 3f of (f+2)f blocks are non-zero — and the MXU
+    multiplies the zeros anyway.  Splitting the contraction into ``f/g``
+    sub-dots of ((g+2)Ci, gCo) executes ``(g+2)/3`` x logical instead:
+    2x -> 4/3 at (f=4, g=2), 4/3 -> 1x (exactly logical) at (f=2, g=1).
+
+    ``g`` must divide f, and ``g*co`` should fill the 128-lane MXU width —
+    smaller g on narrow outputs would pay back the saved FLOPs as lane
+    padding.  Returns ``fold`` (= the dense path) when no smaller g
+    qualifies or the operand layout is non-canonical (permuted lanes make
+    the sub-band input ranges non-contiguous).
+
+    Silicon (tools/exp_fold2_conv.py, 64ch @ 512^2 b16, fwd+dx+wgrad):
+    the g=2-equivalent form runs 12.74 ms/iter vs 15.89 dense at f=4.
+    """
+    if not canonical or not _subfold_enabled():
+        return fold
+    for g in (1, 2):
+        if g < fold and fold % g == 0 and g * co >= 128:
+            return g
+    return fold
+
+
 def _halo_matrices(kernel: jax.Array, fold: int, dtype: Any) -> jax.Array:
     """(3, 3, Ci, Co) -> (3, (f+2)*Ci, f*Co) canonical per-dy halo matrices.
 
@@ -75,6 +108,41 @@ def _halo_matrices(kernel: jax.Array, fold: int, dtype: Any) -> jax.Array:
     selj = jnp.asarray(sel, kernel.dtype)
     kp = jnp.einsum("tqD,aDio->atiqo", selj, kernel)  # (3, f+2, ci, f, co)
     return kp.reshape(3, (f + 2) * ci, f * co).astype(dtype)
+
+
+def _subfold_matrices(
+    kernel: jax.Array, fold: int, g: int, dtype: Any
+) -> jax.Array:
+    """(3, 3, Ci, Co) -> (3, f//g, (g+2)*Ci, g*Co) banded sub-matrices.
+
+    Sub-block j's matrix is the dense halo matrix restricted to its
+    non-zero band: output slots jg..jg+g-1 (columns) against halo-row
+    slots jg..jg+g+1 (i.e. canonical input slots jg-1..jg+g)."""
+    kh, kw, ci, co = kernel.shape
+    kp = _halo_matrices(kernel, fold, dtype)  # (3, (f+2)ci, f*co)
+    nj = fold // g
+    subs = [
+        kp[:, (j * g) * ci : (j * g + g + 2) * ci,
+            (j * g) * co : (j * g + g) * co]
+        for j in range(nj)
+    ]
+    return jnp.stack(subs, axis=1)
+
+
+def _dkp_from_subfold(
+    dkp_sub: jax.Array, fold: int, g: int, ci: int, co: int
+) -> jax.Array:
+    """Adjoint of :func:`_subfold_matrices`'s banding: scatter the per-j
+    (3, (g+2)ci, g*co) blocks back into the dense (3, (f+2)ci, f*co) frame
+    (disjoint column ranges — each cell belongs to exactly one j)."""
+    nj = fold // g
+    dkp = jnp.zeros((3, (fold + 2) * ci, fold * co), dkp_sub.dtype)
+    for j in range(nj):
+        dkp = dkp.at[
+            :, (j * g) * ci : (j * g + g + 2) * ci,
+            (j * g) * co : (j * g + g) * co,
+        ].set(dkp_sub[:, j])
+    return dkp
 
 
 def _wgrad_from_halo(dkp: jax.Array, fold: int, ci: int, co: int) -> jax.Array:
@@ -163,8 +231,11 @@ def _gfold_transform(g, y, gf_ref, mode, lanes):
 def _build_aug(
     top_ref, mid_ref, bot_ref, *, ht, wp, lanes, prev_runs, next_runs,
     ab_ref=None, y_refs=None, gf_ref=None, gfold=None, b_refs=None,
+    subfold=None,
 ):
-    """(ht+2, wp, lanes + 2*ci) haloed slab built entirely in VMEM.
+    """(ht+2, wp, lanes + 2*ci) haloed slab built entirely in VMEM — or,
+    with ``subfold`` ((g, ci, f), canonical layouts only), the list of
+    f//g banded sub-slabs of (ht+2, wp, (g+2)*ci) each.
 
     ``ab_ref`` (2, lanes): apply ``relu(x*a + b)`` to the RAW slab reads
     BEFORE any zero insertion — SAME padding pads the *activated* tensor
@@ -228,6 +299,28 @@ def _build_aug(
     zrow = jnp.zeros((ht + 2, 1, lanes), xv.dtype)
     xv_r = jnp.concatenate([zrow, xv[:, :-1]], axis=1)  # wp shifted +1
     xv_l = jnp.concatenate([xv[:, 1:], zrow], axis=1)   # wp shifted -1
+    if subfold:
+        # Banded sub-slabs (canonical layout only): sub-block j covers
+        # canonical input slots jg-1 .. jg+g — slot -1 is the previous
+        # block's last slot (from xv_r), slot f the next block's first
+        # (from xv_l); interior slots are one contiguous lane slice.
+        g, ci, f = subfold
+        nj = f // g
+        subs = []
+        for j in range(nj):
+            parts = []
+            if j == 0:
+                parts.append(xv_r[:, :, (f - 1) * ci :])
+            lo = max(j * g - 1, 0) * ci
+            hi = min(j * g + g + 1, f) * ci
+            parts.append(xv[:, :, lo:hi])
+            if j == nj - 1:
+                parts.append(xv_l[:, :, :ci])
+            subs.append(
+                parts[0] if len(parts) == 1
+                else jnp.concatenate(parts, axis=-1)
+            )
+        return subs
     prev = jnp.concatenate(
         [xv_r[:, :, a : a + n] for (a, n) in prev_runs], axis=-1
     )
@@ -254,6 +347,7 @@ def _conv_kernel_body(
     gfold: str | None = None,
     lanes_b: int = 0,
     split_out: tuple[int, int] | None = None,
+    subfold: int = 0,
 ):
     """Conv core with optional fusions:
 
@@ -304,10 +398,29 @@ def _conv_kernel_body(
         ht=ht, wp=wp, lanes=lanes, prev_runs=prev_runs, next_runs=next_runs,
         ab_ref=ab_pre_ref, y_refs=y_refs, gf_ref=gf_ref, gfold=gfold,
         b_refs=b_refs,
+        subfold=(subfold, ci, fold) if subfold else None,
     )
     kdim = lanes + 2 * ci
 
-    if _FATDOT:
+    if subfold:
+        # Banded sub-dots: f//g accumulations of ((g+2)ci, g*co) — only
+        # the non-zero band of the halo matrix is executed ((g+2)/3 x
+        # logical FLOPs instead of (f+2)/3; see _pick_subfold).
+        g = subfold
+        nj = fold // g
+        sub_out = n_out // nj
+        skdim = (g + 2) * ci
+        pieces = []
+        for j in range(nj):
+            accj = jnp.zeros((ht * wp, sub_out), jnp.float32)
+            for dy in range(3):
+                a = aug[j][dy : dy + ht].reshape(ht * wp, skdim)
+                accj = accj + jnp.dot(
+                    a, w_ref[dy, j], preferred_element_type=jnp.float32
+                )
+            pieces.append(accj)
+        acc = jnp.concatenate(pieces, axis=-1)
+    elif _FATDOT:
         # One K=3*kdim contraction instead of three accumulated K=kdim dots:
         # fewer MXU weight-column reloads on the small-K level-0 shapes.
         a3 = jnp.concatenate(
@@ -382,8 +495,13 @@ def _folded_conv_pallas(
     gfold: str | None = None,
     x4b: jax.Array | None = None,
     split_out: tuple[int, int] | None = None,
+    subfold: int = 0,
 ):
     """Run the kernel: x4 (B, H, Wp, L) x w_mats (3, L+2ci, N) -> (B, H, Wp, N).
+
+    With ``subfold`` g: ``w_mats`` is the banded (3, f//g, (g+2)ci, g*co)
+    stack from :func:`_subfold_matrices` and the contraction runs as f//g
+    sub-dots ((g+2)/3 x logical FLOPs).  Canonical layouts only.
 
     With ``stats``: returns (y, s1 (N,), s2 (N,)) f32 output sums.
     With ``x_post``/``ab_post``: returns (y, da (N,), dbp (N,)) — see
@@ -399,10 +517,12 @@ def _folded_conv_pallas(
     b, h, wp, lanes = x4.shape
     lanes_b = 0 if x4b is None else x4b.shape[-1]
     lanes = lanes + lanes_b
-    n_out = w_mats.shape[-1]
+    nj = (fold // subfold) if subfold else 1
+    n_out = w_mats.shape[-1] * (nj if subfold else 1)
     extra = (n_out if post else 0) + (lanes if gfold else 0)
+    aug_kdim = nj * w_mats.shape[-2] if subfold else w_mats.shape[1]
     ht = h_tile or _pick_h_tile(
-        h, wp, lanes, w_mats.shape[1], n_out + extra, x4.dtype.itemsize
+        h, wp, lanes, aug_kdim, n_out + extra, x4.dtype.itemsize
     )
     assert h % ht == 0, (h, ht)
     grid = (b, h // ht)
@@ -424,8 +544,11 @@ def _folded_conv_pallas(
         gfold=gfold,
         lanes_b=lanes_b,
         split_out=split_out,
+        subfold=subfold,
     )
-    flops = 2 * b * h * wp * (lanes + 2 * ci) * n_out * 3
+    flops = 2 * b * h * wp * (
+        ((subfold + 2) if subfold else (fold + 2)) * ci
+    ) * n_out * 3
     n_h = h // ht
 
     def _slab_specs(width):
@@ -454,7 +577,7 @@ def _folded_conv_pallas(
         in_specs.extend(_slab_specs(lanes))  # y slabs, same index maps
         args.extend([g_y, g_y, g_y])
     in_specs.extend([
-        pl.BlockSpec((3, w_mats.shape[1], n_out), lambda b, i: (0, 0, 0)),
+        pl.BlockSpec(w_mats.shape, lambda b, i: (0,) * w_mats.ndim),
         pl.BlockSpec((1, n_out), lambda b, i: (0, 0)),
     ])
     args.extend([w_mats, bias_f])
@@ -536,6 +659,8 @@ def _wgrad_kernel_body(
     pre: bool = False,
     gfold: str | None = None,
     lanes_b: int = 0,
+    fold: int = 0,
+    subfold: int = 0,
 ):
     """dkp[dy] = sum over tiles of aug_rows(dy)^T @ g_rows; db = sum g.
 
@@ -568,6 +693,7 @@ def _wgrad_kernel_body(
         top_ref, mid_ref, bot_ref,
         ht=ht, wp=wp, lanes=lanes, prev_runs=prev_runs, next_runs=next_runs,
         ab_ref=ab_ref, b_refs=b_refs,
+        subfold=(subfold, ci, fold) if subfold else None,
     )
     kdim = lanes + 2 * ci
     g_raw = g_ref[0]
@@ -580,13 +706,26 @@ def _wgrad_kernel_body(
         dkp_ref[...] = jnp.zeros_like(dkp_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
 
-    for dy in range(3):
-        a = aug[dy : dy + ht].reshape(ht * wp, kdim)
-        contrib = jax.lax.dot_general(
-            a, g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (kdim, n_out)
-        dkp_ref[dy] = dkp_ref[dy] + contrib
+    if subfold:
+        nj = fold // subfold
+        sub_out = n_out // nj
+        skdim = (subfold + 2) * ci
+        for dy in range(3):
+            for j in range(nj):
+                a = aug[j][dy : dy + ht].reshape(ht * wp, skdim)
+                gj = g[:, j * sub_out : (j + 1) * sub_out]
+                dkp_ref[dy, j] = dkp_ref[dy, j] + jax.lax.dot_general(
+                    a, gj, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+    else:
+        for dy in range(3):
+            a = aug[dy : dy + ht].reshape(ht * wp, kdim)
+            contrib = jax.lax.dot_general(
+                a, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (kdim, n_out)
+            dkp_ref[dy] = dkp_ref[dy] + contrib
     db_ref[0] = db_ref[0] + jnp.sum(g.astype(jnp.float32), axis=0)
 
 
@@ -604,19 +743,25 @@ def _folded_wgrad_pallas(
     gf_consts: jax.Array | None = None,
     gfold: str | None = None,
     x4b: jax.Array | None = None,
+    subfold: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """(dkp (3, lanes+2ci, N) f32 in KERNEL row order [prev|actual mid|next],
     db (N,) f32) from one pass over x4 and g.  ``x4b``: the slab is the
-    VMEM lane concat [x4 | x4b]."""
+    VMEM lane concat [x4 | x4b].  With ``subfold`` g (canonical layouts
+    only) the contraction runs banded and dkp comes back already scattered
+    to the dense canonical frame (zero blocks stay zero)."""
     pre = ab_pre is not None
     b, h, wp, lanes = x4.shape
     lanes_b = 0 if x4b is None else x4b.shape[-1]
     lanes = lanes + lanes_b
+    fold = lanes // ci
     n_out = g.shape[-1]
     kdim = lanes + 2 * ci
+    nj = (fold // subfold) if subfold else 1
+    aug_kdim = nj * (subfold + 2) * ci if subfold else kdim
     extra = n_out if gfold else 0
     ht = h_tile or _pick_h_tile(
-        h, wp, lanes, kdim, n_out + extra, x4.dtype.itemsize
+        h, wp, lanes, aug_kdim, n_out + extra, x4.dtype.itemsize
     )
     assert h % ht == 0, (h, ht)
     n_h = h // ht
@@ -633,8 +778,12 @@ def _folded_wgrad_pallas(
         pre=pre,
         gfold=gfold,
         lanes_b=lanes_b,
+        fold=fold,
+        subfold=subfold,
     )
-    flops = 2 * b * h * wp * kdim * n_out * 3
+    flops = 2 * b * h * wp * (
+        ((subfold + 2) if subfold else (fold + 2)) * ci
+    ) * n_out * 3
 
     def _slab_specs(width):
         return [
@@ -665,16 +814,22 @@ def _folded_wgrad_pallas(
     if pre:
         in_specs.append(pl.BlockSpec((2, lanes), lambda b, i: (0, 0)))
         args.append(ab_pre)
+    if subfold:
+        skdim = (subfold + 2) * ci
+        sub_out = n_out // nj
+        dkp_shape = (3, nj, skdim, sub_out)
+    else:
+        dkp_shape = (3, kdim, n_out)
     dkp, db = pl.pallas_call(
         kernel,
         grid=(b, n_h),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((3, kdim, n_out), lambda b, i: (0, 0, 0)),
+            pl.BlockSpec(dkp_shape, lambda b, i: (0,) * len(dkp_shape)),
             pl.BlockSpec((1, n_out), lambda b, i: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((3, kdim, n_out), jnp.float32),
+            jax.ShapeDtypeStruct(dkp_shape, jnp.float32),
             jax.ShapeDtypeStruct((1, n_out), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -684,6 +839,9 @@ def _folded_wgrad_pallas(
         ),
         interpret=interpret,
     )(*args)
+    if subfold:
+        co = n_out // fold
+        dkp = _dkp_from_subfold(dkp, fold, subfold, ci, co)
     return dkp, db[0]
 
 
@@ -1216,13 +1374,21 @@ def make_folded_conv3x3(
     # dkp_canon[row_map[r]] = dkp_kernel[r]
     inv_row_map = np.argsort(row_map)
 
+    canonical = in_perm is None
+    g_fwd = _pick_subfold(f, co, canonical)
+    g_dx = _pick_subfold(f, ci, canonical)
+
     def fwd_impl(x4, kernel, bias):
-        wm = _halo_matrices(kernel, f, x4.dtype)[:, row_map, :]
         bias_f = jnp.tile(bias, f).reshape(1, f * co).astype(jnp.float32)
+        if g_fwd < f:
+            wm = _subfold_matrices(kernel, f, g_fwd, x4.dtype)
+        else:
+            wm = _halo_matrices(kernel, f, x4.dtype)[:, row_map, :]
         return _folded_conv_pallas(
             x4, wm, bias_f,
             fold=f, ci=ci, prev_runs=prev_runs, next_runs=next_runs,
             h_tile=h_tile, interpret=interpret,
+            subfold=g_fwd if g_fwd < f else 0,
         )
 
     @jax.custom_vjp
@@ -1236,10 +1402,14 @@ def make_folded_conv3x3(
         x4, kernel = res
         # ---- dx: conv of g with the flipped, in/out-transposed kernel.
         kb = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2))  # (3,3,Co,Ci)
-        wb = _halo_matrices(kb, f, g.dtype)  # (3, (f+2)*Co, f*Ci) canonical
-        # output lanes must come back in the ACTUAL layout: dx_act[j] =
-        # dx_canon[perm[j]] — a zero-cost column permutation of the weights.
-        wb = wb[:, :, perm]
+        if g_dx < f:
+            wb = _subfold_matrices(kb, f, g_dx, g.dtype)
+        else:
+            wb = _halo_matrices(kb, f, g.dtype)  # (3, (f+2)*Co, f*Ci)
+            # output lanes must come back in the ACTUAL layout: dx_act[j] =
+            # dx_canon[perm[j]] — a zero-cost column permutation of the
+            # weights (identity when canonical, the subfold case).
+            wb = wb[:, :, perm]
         zeros_ci = jnp.zeros((f * ci,), jnp.float32).reshape(1, f * ci)
         dx = _folded_conv_pallas(
             g, wb, zeros_ci,
@@ -1247,6 +1417,7 @@ def make_folded_conv3x3(
             prev_runs=((((f - 1) * co), co),),
             next_runs=((0, co),),
             h_tile=h_tile, interpret=interpret,
+            subfold=g_dx if g_dx < f else 0,
         )
         # ---- dw/db: one fused Pallas pass over x and g (the XLA einsum
         # formulation materialized full-tensor shifted copies of x per dy
@@ -1255,6 +1426,7 @@ def make_folded_conv3x3(
             x4, g,
             ci=ci, prev_runs=prev_runs, next_runs=next_runs,
             h_tile=h_tile, interpret=interpret,
+            subfold=g_fwd if g_fwd < f else 0,
         )
         # kernel rows [prev | ACTUAL mid | next] -> canonical (f+2)*ci rows
         dkp = dkp_k[:, inv_row_map, :]
@@ -1333,12 +1505,19 @@ def make_folded_conv_bn3x3(
 
     assert not (pre and in_split is not None)
 
+    canonical = in_perm is None and in_split is None
+    g_fwd = _pick_subfold(f, co, canonical)
+    g_dx = _pick_subfold(f, ci, canonical)
+
     def _ab_pre(a, b, dtype):
         # per ACTUAL lane of x4 (the kernels activate the raw slab reads)
         return jnp.stack([a[chan_act], b[chan_act]]).astype(dtype)
 
     def fwd_impl(x4, x4b, kernel, bias, a, b):
-        wm = _halo_matrices(kernel, f, x4.dtype)[:, row_map, :]
+        if g_fwd < f:
+            wm = _subfold_matrices(kernel, f, g_fwd, x4.dtype)
+        else:
+            wm = _halo_matrices(kernel, f, x4.dtype)[:, row_map, :]
         bias_f = jnp.tile(bias, f).reshape(1, f * co).astype(jnp.float32)
         ab = _ab_pre(a, b, x4.dtype) if pre else None
         res = _folded_conv_pallas(
@@ -1346,6 +1525,7 @@ def make_folded_conv_bn3x3(
             fold=f, ci=ci, prev_runs=prev_runs, next_runs=next_runs,
             h_tile=h_tile, interpret=interpret,
             ab_pre=ab, stats=stats, x4b=x4b,
+            subfold=g_fwd if g_fwd < f else 0,
         )
         if not stats:
             return res
@@ -1364,7 +1544,10 @@ def make_folded_conv_bn3x3(
             ge = ct
         # ---- dx (+ da/db of the pre-op affine)
         kb = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2))
-        wb = _halo_matrices(kb, f, ge.dtype)[:, :, perm]
+        if g_dx < f:
+            wb = _subfold_matrices(kb, f, g_dx, ge.dtype)
+        else:
+            wb = _halo_matrices(kb, f, ge.dtype)[:, :, perm]
         zeros_b = jnp.zeros((1, f * ci), jnp.float32)
         if pre:
             ab_post = jnp.stack([a[chan_act], b[chan_act]]).astype(x4.dtype)
@@ -1375,6 +1558,7 @@ def make_folded_conv_bn3x3(
                 next_runs=((0, co),),
                 h_tile=h_tile, interpret=interpret,
                 x_post=x4, ab_post=ab_post,
+                subfold=g_dx if g_dx < f else 0,
             )
             da = da_l @ lane2chan
             dbp = dbp_l @ lane2chan
@@ -1389,6 +1573,7 @@ def make_folded_conv_bn3x3(
                     None if in_split is None
                     else (in_split, lanes - in_split)
                 ),
+                subfold=g_dx if g_dx < f else 0,
             )
         # ---- dw/db on the (re-activated) slab
         ab = _ab_pre(a, b, x4.dtype) if pre else None
@@ -1396,6 +1581,7 @@ def make_folded_conv_bn3x3(
             x4, ge,
             ci=ci, prev_runs=prev_runs, next_runs=next_runs,
             h_tile=h_tile, interpret=interpret, ab_pre=ab, x4b=x4b,
+            subfold=g_fwd if g_fwd < f else 0,
         )
         dkp = dkp_k[:, inv_row_map, :]
         dw = _wgrad_from_halo(dkp, f, ci, co).astype(kernel.dtype)
@@ -1510,6 +1696,11 @@ def make_folded_block(
     next2 = ((0, co),)
     chan2 = np.arange(lanes2) % co
 
+    canonical1 = in_perm is None and in_split is None
+    g1 = _pick_subfold(f, co, canonical1)      # conv1 fwd / wgrad
+    g1dx = _pick_subfold(f, ci, canonical1)    # conv1 dx (f*ci out lanes)
+    g2 = _pick_subfold(f, co, True)            # conv2 fwd / dx / wgrad
+
     def bn_scalars(S, Q, scale, bias, n):
         mean = S / n
         var = jnp.maximum(0.0, Q / n - mean * mean)
@@ -1521,21 +1712,29 @@ def make_folded_block(
         bsz, h, wp, _ = x4.shape
         n = bsz * h * wp * f
         dt = x4.dtype
-        wm1 = _halo_matrices(k1, f, dt)[:, row_map1, :]
+        if g1 < f:
+            wm1 = _subfold_matrices(k1, f, g1, dt)
+        else:
+            wm1 = _halo_matrices(k1, f, dt)[:, row_map1, :]
         b1f = jnp.tile(c1b, f).reshape(1, lanes2).astype(jnp.float32)
         y1, S1l, Q1l = _folded_conv_pallas(
             x4, wm1, b1f, fold=f, ci=ci, prev_runs=prev1, next_runs=next1,
             h_tile=h_tile, interpret=interpret, stats=True, x4b=x4b,
+            subfold=g1 if g1 < f else 0,
         )
         S1 = S1l.reshape(f, co).sum(0)
         Q1 = Q1l.reshape(f, co).sum(0)
         a1, b1, mean1, var1 = bn_scalars(S1, Q1, scale1, bias1, n)
         ab1 = jnp.stack([a1[chan2], b1[chan2]]).astype(dt)
-        wm2 = _halo_matrices(k2, f, dt)
+        wm2 = (
+            _subfold_matrices(k2, f, g2, dt)
+            if g2 < f else _halo_matrices(k2, f, dt)
+        )
         b2f = jnp.tile(c2b, f).reshape(1, lanes2).astype(jnp.float32)
         y2, S2l, Q2l = _folded_conv_pallas(
             y1, wm2, b2f, fold=f, ci=co, prev_runs=prev2, next_runs=next2,
             h_tile=h_tile, interpret=interpret, ab_pre=ab1, stats=True,
+            subfold=g2 if g2 < f else 0,
         )
         S2 = S2l.reshape(f, co).sum(0)
         Q2 = Q2l.reshape(f, co).sum(0)
@@ -1610,7 +1809,10 @@ def make_folded_block(
         # conv2 dx: ge2 computed on slab read; pre-op adjoint emits gy1
         # plus the bn1 affine reductions grid-wide.
         kb2 = jnp.transpose(k2[::-1, ::-1], (0, 1, 3, 2))
-        wb2 = _halo_matrices(kb2, f, dz.dtype)
+        wb2 = (
+            _subfold_matrices(kb2, f, g2, dz.dtype)
+            if g2 < f else _halo_matrices(kb2, f, dz.dtype)
+        )
         zeros2 = jnp.zeros((1, lanes2), jnp.float32)
         ab1 = jnp.stack([a1[chan2], b1[chan2]]).astype(dt)
         gy1, da1_l, db1_l = _folded_conv_pallas(
@@ -1618,12 +1820,14 @@ def make_folded_block(
             h_tile=h_tile, interpret=interpret,
             x_post=y1, ab_post=ab1,
             g_y=y2, gf_consts=gf2, gfold="stats" if raw_out else "affine",
+            subfold=g2 if g2 < f else 0,
         )
         dkp2, dc2b_f = _folded_wgrad_pallas(
             y1, dz, ci=co, prev_runs=prev2, next_runs=next2,
             h_tile=h_tile, interpret=interpret,
             ab_pre=ab1, g_y=y2, gf_consts=gf2,
             gfold="stats" if raw_out else "affine",
+            subfold=g2 if g2 < f else 0,
         )
         dk2 = _wgrad_from_halo(dkp2, f, co, co).astype(k2.dtype)
         dc2b = dc2b_f.reshape(f, co).sum(0)
@@ -1642,7 +1846,10 @@ def make_folded_block(
 
         # conv1 dx/wgrad: ge1 = gy1 + dS1 + 2*y1*dQ1 computed on read.
         kb1 = jnp.transpose(k1[::-1, ::-1], (0, 1, 3, 2))
-        wb1 = _halo_matrices(kb1, f, dz.dtype)[:, :, perm]
+        if g1dx < f:
+            wb1 = _subfold_matrices(kb1, f, g1dx, dz.dtype)
+        else:
+            wb1 = _halo_matrices(kb1, f, dz.dtype)[:, :, perm]
         zeros1 = jnp.zeros((1, lanes1), jnp.float32)
         dx4 = _folded_conv_pallas(
             gy1, wb1, zeros1, fold=f, ci=co, prev_runs=prev2, next_runs=next2,
@@ -1651,11 +1858,13 @@ def make_folded_block(
             split_out=(
                 None if in_split is None else (in_split, lanes1 - in_split)
             ),
+            subfold=g1dx if g1dx < f else 0,
         )
         dkp1, dc1b_f = _folded_wgrad_pallas(
             x4, gy1, ci=ci, prev_runs=prev1, next_runs=next1,
             h_tile=h_tile, interpret=interpret,
             g_y=y1, gf_consts=gf1, gfold="stats", x4b=x4b,
+            subfold=g1 if g1 < f else 0,
         )
         dk1 = _wgrad_from_halo(
             dkp1[:, inv_row_map1, :], f, ci, co
