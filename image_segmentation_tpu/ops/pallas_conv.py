@@ -59,6 +59,13 @@ from jax.experimental import pallas as pl
 _FATDOT = os.environ.get("IMGSEG_PALLAS_FATDOT", "0") == "1"
 
 
+def _merged_bwd_enabled() -> bool:
+    """Fused dx+wgrad backward kernels (see
+    :func:`_bwd_fused_kernel_body`); ``IMGSEG_PALLAS_MERGED_BWD=0`` opts
+    out (read at block-factory build time)."""
+    return os.environ.get("IMGSEG_PALLAS_MERGED_BWD", "1") == "1"
+
+
 def _subfold_enabled() -> bool:
     """Sub-fold banded decomposition (see :func:`_pick_subfold`) — default
     ON since the round-3 silicon A/B; ``IMGSEG_PALLAS_SUBFOLD=0`` opts out."""
@@ -231,11 +238,15 @@ def _gfold_transform(g, y, gf_ref, mode, lanes):
 def _build_aug(
     top_ref, mid_ref, bot_ref, *, ht, wp, lanes, prev_runs, next_runs,
     ab_ref=None, y_refs=None, gf_ref=None, gfold=None, b_refs=None,
-    subfold=None,
+    subfold=None, want_mid=False,
 ):
     """(ht+2, wp, lanes + 2*ci) haloed slab built entirely in VMEM — or,
     with ``subfold`` ((g, ci, f), canonical layouts only), the list of
     f//g banded sub-slabs of (ht+2, wp, (g+2)*ci) each.
+
+    ``want_mid``: also return the transformed/activated MID tile
+    (ht, wp, lanes) — the fused-backward kernel feeds it to the weight-
+    gradient contraction so the cotangent transform happens exactly once.
 
     ``ab_ref`` (2, lanes): apply ``relu(x*a + b)`` to the RAW slab reads
     BEFORE any zero insertion — SAME padding pads the *activated* tensor
@@ -282,6 +293,7 @@ def _build_aug(
             return jnp.maximum(tf * a_p + b_p, 0.0).astype(t.dtype)
 
         mid, top, bot = act(mid), act(top), act(bot)
+    mid_out = mid
     # Zero the dy halo rows at the image boundary (SAME padding).
     if n_h == 1:
         top = jnp.zeros_like(top)
@@ -320,14 +332,15 @@ def _build_aug(
                 parts[0] if len(parts) == 1
                 else jnp.concatenate(parts, axis=-1)
             )
-        return subs
+        return (subs, mid_out) if want_mid else subs
     prev = jnp.concatenate(
         [xv_r[:, :, a : a + n] for (a, n) in prev_runs], axis=-1
     )
     nxt_c = jnp.concatenate(
         [xv_l[:, :, a : a + n] for (a, n) in next_runs], axis=-1
     )
-    return jnp.concatenate([prev, xv, nxt_c], axis=-1)
+    aug = jnp.concatenate([prev, xv, nxt_c], axis=-1)
+    return (aug, mid_out) if want_mid else aug
 
 
 def _conv_kernel_body(
@@ -843,6 +856,340 @@ def _folded_wgrad_pallas(
         co = n_out // fold
         dkp = _dkp_from_subfold(dkp, fold, subfold, ci, co)
     return dkp, db[0]
+
+
+def _bwd_fused_kernel_body(
+    *refs,
+    h_tile: int,
+    wp: int,
+    lg: int,
+    lx: int,
+    fold: int,
+    ci_dx: int,
+    ci_w: int,
+    n_dx: int,
+    prev_dx: Sequence[tuple[int, int]],
+    next_dx: Sequence[tuple[int, int]],
+    prev_w: Sequence[tuple[int, int]],
+    next_w: Sequence[tuple[int, int]],
+    out_dtype: Any,
+    gfold: str | None = None,
+    post: bool = False,
+    pre_w: bool = False,
+    lanes_b: int = 0,
+    split_out: tuple[int, int] | None = None,
+    sub_dx: int = 0,
+    sub_w: int = 0,
+):
+    """Input-gradient AND weight-gradient of one folded conv in ONE kernel.
+
+    The separate dx/wgrad kernels each re-read the raw cotangent, the
+    forward output (for the stats fold) and the conv input from HBM and
+    each recompute :func:`_gfold_transform` — ~3 redundant full-tensor
+    reads plus a duplicate VPU transform pass per conv backward.  Here:
+
+    - the ``ge`` slab is built once (gfold computed once); its halo form
+      feeds the dx dots and its mid tile feeds the wgrad contraction;
+    - the ``xw`` slab (the conv's input: x4 or y1) feeds the wgrad dots
+      and, raw, the dx pre-op adjoint (``post``);
+    - dx is written per tile; dkp/db (and da/dbp of the pre-op affine)
+      accumulate grid-wide in VMEM-resident blocks.
+
+    Same math as the two-kernel path (tests/test_pallas_conv.py asserts
+    equivalence through the block VJP); only the data movement changes.
+    """
+    it = iter(refs)
+    ge_refs = (next(it), next(it), next(it))
+    y_refs = (next(it), next(it), next(it)) if gfold else None
+    xw_refs = (next(it), next(it), next(it))
+    xb_refs = (next(it), next(it), next(it)) if lanes_b else None
+    w_ref = next(it)
+    gf_ref = next(it) if gfold else None
+    ab_post_ref = next(it) if post else None
+    ab_pre_ref = next(it) if pre_w else None
+    if split_out is not None:
+        out_a_ref, out_b_ref = next(it), next(it)
+        out_ref = None
+    else:
+        out_ref = next(it)
+    dkp_ref, dbw_ref = next(it), next(it)
+    da_ref = next(it) if post else None
+    dbp_ref = next(it) if post else None
+
+    ht = h_tile
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    # ---- ge slab: halo form for the dx dots, transformed mid for wgrad.
+    ge_aug, ge_t = _build_aug(
+        *ge_refs,
+        ht=ht, wp=wp, lanes=lg, prev_runs=prev_dx, next_runs=next_dx,
+        y_refs=y_refs, gf_ref=gf_ref, gfold=gfold,
+        subfold=(sub_dx, ci_dx, lg // ci_dx) if sub_dx else None,
+        want_mid=True,
+    )
+
+    # ---- dx contraction (zero bias: both callers pass none).
+    kdim_dx = lg + 2 * ci_dx
+    if sub_dx:
+        nj = (lg // ci_dx) // sub_dx
+        sub_out = n_dx // nj
+        skdim = (sub_dx + 2) * ci_dx
+        pieces = []
+        for j in range(nj):
+            accj = jnp.zeros((ht * wp, sub_out), jnp.float32)
+            for dy in range(3):
+                a = ge_aug[j][dy : dy + ht].reshape(ht * wp, skdim)
+                accj = accj + jnp.dot(
+                    a, w_ref[dy, j], preferred_element_type=jnp.float32
+                )
+            pieces.append(accj)
+        acc = jnp.concatenate(pieces, axis=-1)
+    else:
+        acc = jnp.zeros((ht * wp, n_dx), jnp.float32)
+        for dy in range(3):
+            a = ge_aug[dy : dy + ht].reshape(ht * wp, kdim_dx)
+            acc = acc + jnp.dot(
+                a, w_ref[dy], preferred_element_type=jnp.float32
+            )
+
+    if post:
+        # pre-op adjoint off the RAW xw mid tile (xw == the forward conv's
+        # pre-activation input, e.g. y1): gu = acc * mask, out = gu * a.
+        x = xw_refs[1][0].reshape(ht * wp, n_dx).astype(jnp.float32)
+        a_q = ab_post_ref[0:1].reshape(1, n_dx).astype(jnp.float32)
+        b_q = ab_post_ref[1:2].reshape(1, n_dx).astype(jnp.float32)
+        gu = jnp.where((x * a_q + b_q) > 0.0, acc, 0.0)
+        out_ref[0] = (gu * a_q).reshape(ht, wp, n_dx).astype(out_dtype)
+
+        @pl.when(first)
+        def _():
+            da_ref[...] = jnp.zeros_like(da_ref)
+            dbp_ref[...] = jnp.zeros_like(dbp_ref)
+
+        da_ref[...] = da_ref[...] + jnp.sum(gu * x, axis=0, keepdims=True)
+        dbp_ref[...] = dbp_ref[...] + jnp.sum(gu, axis=0, keepdims=True)
+    elif split_out is not None:
+        na, _ = split_out
+        yv = acc.reshape(ht, wp, n_dx).astype(out_dtype)
+        out_a_ref[0] = yv[..., :na]
+        out_b_ref[0] = yv[..., na:]
+    else:
+        out_ref[0] = acc.reshape(ht, wp, n_dx).astype(out_dtype)
+
+    # ---- wgrad contraction on the (re-activated) xw slab x transformed ge.
+    xw_aug = _build_aug(
+        *xw_refs,
+        ht=ht, wp=wp, lanes=lx, prev_runs=prev_w, next_runs=next_w,
+        ab_ref=ab_pre_ref, b_refs=xb_refs,
+        subfold=(sub_w, ci_w, lx // ci_w) if sub_w else None,
+    )
+    g2 = ge_t.reshape(ht * wp, lg)
+
+    @pl.when(first)
+    def _():
+        dkp_ref[...] = jnp.zeros_like(dkp_ref)
+        dbw_ref[...] = jnp.zeros_like(dbw_ref)
+
+    if sub_w:
+        njw = (lx // ci_w) // sub_w
+        sub_g = lg // njw
+        skdim_w = (sub_w + 2) * ci_w
+        for dy in range(3):
+            for j in range(njw):
+                a = xw_aug[j][dy : dy + ht].reshape(ht * wp, skdim_w)
+                gj = g2[:, j * sub_g : (j + 1) * sub_g]
+                dkp_ref[dy, j] = dkp_ref[dy, j] + jax.lax.dot_general(
+                    a, gj, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+    else:
+        kdim_w = lx + 2 * ci_w
+        for dy in range(3):
+            a = xw_aug[dy : dy + ht].reshape(ht * wp, kdim_w)
+            dkp_ref[dy] = dkp_ref[dy] + jax.lax.dot_general(
+                a, g2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    dbw_ref[0] = dbw_ref[0] + jnp.sum(g2.astype(jnp.float32), axis=0)
+
+
+def _pick_h_tile_bwd(
+    h: int, wp: int, lg: int, lx: int, n_dx: int,
+    kdim_dx: int, kdim_w: int, itemsize: int, fixed_bytes: int,
+) -> int:
+    """h_tile for the fused-backward kernel: same 12 MiB headroom model as
+    :func:`_pick_h_tile` with both slabs plus the resident dkp block."""
+    budget = 12 * 1024 * 1024 - fixed_bytes
+    per_row = wp * itemsize * (
+        2 * lg + 2 * lg + 2 * lx   # double-buffered mid blocks: ge, y, xw
+        + 2 * n_dx                 # dx out block, double-buffered
+        + 3 * lg + kdim_dx         # ge xv + shifts + aug
+        + 3 * lx + kdim_w          # xw xv + shifts + aug
+        + 4 * n_dx                 # f32 acc + gu
+    )
+    for t in (32, 16, 8, 4, 2, 1):
+        if h % t == 0 and t * per_row <= budget:
+            return t
+    return 1
+
+
+def _folded_bwd_fused_pallas(
+    ge: jax.Array,
+    xw: jax.Array,
+    wb: jax.Array,
+    *,
+    fold: int,
+    ci_dx: int,
+    ci_w: int,
+    n_dx: int,
+    prev_dx: tuple,
+    next_dx: tuple,
+    prev_w: tuple,
+    next_w: tuple,
+    h_tile: int | None,
+    interpret: bool,
+    g_y: jax.Array | None = None,
+    gf_consts: jax.Array | None = None,
+    gfold: str | None = None,
+    ab_post: jax.Array | None = None,
+    ab_pre: jax.Array | None = None,
+    xwb: jax.Array | None = None,
+    split_out: tuple[int, int] | None = None,
+    sub_dx: int = 0,
+    sub_w: int = 0,
+):
+    """One fused pass for a folded conv's backward: returns
+    ``(dx[, dxb], dkp, db[, da_post, dbp_post])``.
+
+    ``ge`` is the raw output cotangent (transformed on read per ``gfold``),
+    ``xw`` the conv's input (wgrad slab operand; with ``ab_post`` also the
+    raw x of the dx pre-op adjoint), ``wb`` the flipped/transposed dx
+    weight matrices (dense halo or ``sub_dx``-banded stack).  dkp comes
+    back in the dense kernel-row frame (subfold blocks scattered), exactly
+    as :func:`_folded_wgrad_pallas` returns it.
+    """
+    post = ab_post is not None
+    b, h, wp, lg = ge.shape
+    lanes_b = 0 if xwb is None else xwb.shape[-1]
+    lx = xw.shape[-1] + lanes_b
+    fold_w = lx // ci_w
+    kdim_dx = lg + 2 * ci_dx
+    kdim_w = lx + 2 * ci_w
+    if sub_w:
+        njw = fold_w // sub_w
+        skdim_w = (sub_w + 2) * ci_w
+        dkp_shape = (3, njw, skdim_w, lg // njw)
+    else:
+        dkp_shape = (3, kdim_w, lg)
+    fixed = int(np.prod(dkp_shape)) * 4 + 16 * lg
+    ht = h_tile or _pick_h_tile_bwd(
+        h, wp, lg, lx, n_dx, kdim_dx, kdim_w, ge.dtype.itemsize, fixed
+    )
+    assert h % ht == 0, (h, ht)
+    n_h = h // ht
+
+    kernel = functools.partial(
+        _bwd_fused_kernel_body,
+        h_tile=ht, wp=wp, lg=lg, lx=lx, fold=fold,
+        ci_dx=ci_dx, ci_w=ci_w, n_dx=n_dx,
+        prev_dx=prev_dx, next_dx=next_dx, prev_w=prev_w, next_w=next_w,
+        out_dtype=ge.dtype,
+        gfold=gfold, post=post, pre_w=ab_pre is not None,
+        lanes_b=lanes_b, split_out=split_out,
+        sub_dx=sub_dx, sub_w=sub_w,
+    )
+    flops = 2 * b * h * wp * 3 * (
+        ((sub_dx + 2) if sub_dx else (fold + 2)) * ci_dx * n_dx
+        + ((sub_w + 2) if sub_w else (fold_w + 2)) * ci_w * lg
+    )
+
+    def _slab_specs(width):
+        return [
+            pl.BlockSpec(
+                (1, 1, wp, width),
+                lambda b, i: (b, jnp.maximum(i * ht - 1, 0), 0, 0),
+            ),
+            pl.BlockSpec((1, ht, wp, width), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, wp, width),
+                lambda b, i: (b, jnp.minimum(i * ht + ht, n_h * ht - 1), 0, 0),
+            ),
+        ]
+
+    in_specs = _slab_specs(lg)
+    args = [ge, ge, ge]
+    if gfold:
+        in_specs.extend(_slab_specs(lg))
+        args.extend([g_y, g_y, g_y])
+    in_specs.extend(_slab_specs(lx - lanes_b))
+    args.extend([xw, xw, xw])
+    if lanes_b:
+        in_specs.extend(_slab_specs(lanes_b))
+        args.extend([xwb, xwb, xwb])
+    in_specs.append(pl.BlockSpec(wb.shape, lambda b, i: (0,) * wb.ndim))
+    args.append(wb)
+    if gfold:
+        in_specs.append(
+            pl.BlockSpec((gf_consts.shape[0], lg), lambda b, i: (0, 0))
+        )
+        args.append(gf_consts)
+    if post:
+        in_specs.append(pl.BlockSpec((2, n_dx), lambda b, i: (0, 0)))
+        args.append(ab_post)
+    if ab_pre is not None:
+        in_specs.append(pl.BlockSpec((2, lx), lambda b, i: (0, 0)))
+        args.append(ab_pre)
+
+    out_specs = []
+    out_shape = []
+    if split_out is not None:
+        na, nb = split_out
+        assert na + nb == n_dx, (na, nb, n_dx)
+        out_specs.extend([
+            pl.BlockSpec((1, ht, wp, na), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, ht, wp, nb), lambda b, i: (b, i, 0, 0)),
+        ])
+        out_shape.extend([
+            jax.ShapeDtypeStruct((b, h, wp, na), ge.dtype),
+            jax.ShapeDtypeStruct((b, h, wp, nb), ge.dtype),
+        ])
+    else:
+        out_specs.append(pl.BlockSpec((1, ht, wp, n_dx), lambda b, i: (b, i, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((b, h, wp, n_dx), ge.dtype))
+    out_specs.append(pl.BlockSpec(dkp_shape, lambda b, i: (0,) * len(dkp_shape)))
+    out_shape.append(jax.ShapeDtypeStruct(dkp_shape, jnp.float32))
+    out_specs.append(pl.BlockSpec((1, lg), lambda b, i: (0, 0)))
+    out_shape.append(jax.ShapeDtypeStruct((1, lg), jnp.float32))
+    if post:
+        for _ in range(2):
+            out_specs.append(pl.BlockSpec((1, n_dx), lambda b, i: (0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct((1, n_dx), jnp.float32))
+
+    res = pl.pallas_call(
+        kernel,
+        grid=(b, n_h),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(ge.size + xw.size) * ge.dtype.itemsize * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    it = iter(res)
+    if split_out is not None:
+        dx = (next(it), next(it))
+    else:
+        dx = next(it)
+    dkp, dbw = next(it), next(it)
+    if sub_w:
+        dkp = _dkp_from_subfold(dkp, fold_w, sub_w, ci_w, lg // fold_w)
+    out = [dx, dkp, dbw[0]]
+    if post:
+        out.extend([next(it)[0], next(it)[0]])
+    return tuple(out)
 
 
 def _bnred_kernel_body(
@@ -1700,6 +2047,7 @@ def make_folded_block(
     g1 = _pick_subfold(f, co, canonical1)      # conv1 fwd / wgrad
     g1dx = _pick_subfold(f, ci, canonical1)    # conv1 dx (f*ci out lanes)
     g2 = _pick_subfold(f, co, True)            # conv2 fwd / dx / wgrad
+    merged_bwd = _merged_bwd_enabled()         # fused dx+wgrad kernels
 
     def bn_scalars(S, Q, scale, bias, n):
         mean = S / n
@@ -1815,20 +2163,34 @@ def make_folded_block(
         )
         zeros2 = jnp.zeros((1, lanes2), jnp.float32)
         ab1 = jnp.stack([a1[chan2], b1[chan2]]).astype(dt)
-        gy1, da1_l, db1_l = _folded_conv_pallas(
-            dz, wb2, zeros2, fold=f, ci=co, prev_runs=prev2, next_runs=next2,
-            h_tile=h_tile, interpret=interpret,
-            x_post=y1, ab_post=ab1,
-            g_y=y2, gf_consts=gf2, gfold="stats" if raw_out else "affine",
-            subfold=g2 if g2 < f else 0,
-        )
-        dkp2, dc2b_f = _folded_wgrad_pallas(
-            y1, dz, ci=co, prev_runs=prev2, next_runs=next2,
-            h_tile=h_tile, interpret=interpret,
-            ab_pre=ab1, g_y=y2, gf_consts=gf2,
-            gfold="stats" if raw_out else "affine",
-            subfold=g2 if g2 < f else 0,
-        )
+        if merged_bwd:
+            gy1, dkp2, dc2b_f, da1_l, db1_l = _folded_bwd_fused_pallas(
+                dz, y1, wb2,
+                fold=f, ci_dx=co, ci_w=co, n_dx=lanes2,
+                prev_dx=prev2, next_dx=next2, prev_w=prev2, next_w=next2,
+                h_tile=h_tile, interpret=interpret,
+                g_y=y2, gf_consts=gf2,
+                gfold="stats" if raw_out else "affine",
+                ab_post=ab1, ab_pre=ab1,
+                sub_dx=g2 if g2 < f else 0, sub_w=g2 if g2 < f else 0,
+            )
+        else:
+            gy1, da1_l, db1_l = _folded_conv_pallas(
+                dz, wb2, zeros2, fold=f, ci=co,
+                prev_runs=prev2, next_runs=next2,
+                h_tile=h_tile, interpret=interpret,
+                x_post=y1, ab_post=ab1,
+                g_y=y2, gf_consts=gf2,
+                gfold="stats" if raw_out else "affine",
+                subfold=g2 if g2 < f else 0,
+            )
+            dkp2, dc2b_f = _folded_wgrad_pallas(
+                y1, dz, ci=co, prev_runs=prev2, next_runs=next2,
+                h_tile=h_tile, interpret=interpret,
+                ab_pre=ab1, g_y=y2, gf_consts=gf2,
+                gfold="stats" if raw_out else "affine",
+                subfold=g2 if g2 < f else 0,
+            )
         dk2 = _wgrad_from_halo(dkp2, f, co, co).astype(k2.dtype)
         dc2b = dc2b_f.reshape(f, co).sum(0)
 
@@ -1851,21 +2213,37 @@ def make_folded_block(
         else:
             wb1 = _halo_matrices(kb1, f, dz.dtype)[:, :, perm]
         zeros1 = jnp.zeros((1, lanes1), jnp.float32)
-        dx4 = _folded_conv_pallas(
-            gy1, wb1, zeros1, fold=f, ci=co, prev_runs=prev2, next_runs=next2,
-            h_tile=h_tile, interpret=interpret,
-            g_y=y1, gf_consts=gf1, gfold="stats",
-            split_out=(
-                None if in_split is None else (in_split, lanes1 - in_split)
-            ),
-            subfold=g1dx if g1dx < f else 0,
-        )
-        dkp1, dc1b_f = _folded_wgrad_pallas(
-            x4, gy1, ci=ci, prev_runs=prev1, next_runs=next1,
-            h_tile=h_tile, interpret=interpret,
-            g_y=y1, gf_consts=gf1, gfold="stats", x4b=x4b,
-            subfold=g1 if g1 < f else 0,
-        )
+        if merged_bwd:
+            dx4, dkp1, dc1b_f = _folded_bwd_fused_pallas(
+                gy1, x4, wb1,
+                fold=f, ci_dx=co, ci_w=ci, n_dx=lanes1,
+                prev_dx=prev2, next_dx=next2, prev_w=prev1, next_w=next1,
+                h_tile=h_tile, interpret=interpret,
+                g_y=y1, gf_consts=gf1, gfold="stats", xwb=x4b,
+                split_out=(
+                    None if in_split is None
+                    else (in_split, lanes1 - in_split)
+                ),
+                sub_dx=g1dx if g1dx < f else 0, sub_w=g1 if g1 < f else 0,
+            )
+        else:
+            dx4 = _folded_conv_pallas(
+                gy1, wb1, zeros1, fold=f, ci=co,
+                prev_runs=prev2, next_runs=next2,
+                h_tile=h_tile, interpret=interpret,
+                g_y=y1, gf_consts=gf1, gfold="stats",
+                split_out=(
+                    None if in_split is None
+                    else (in_split, lanes1 - in_split)
+                ),
+                subfold=g1dx if g1dx < f else 0,
+            )
+            dkp1, dc1b_f = _folded_wgrad_pallas(
+                x4, gy1, ci=ci, prev_runs=prev1, next_runs=next1,
+                h_tile=h_tile, interpret=interpret,
+                g_y=y1, gf_consts=gf1, gfold="stats", x4b=x4b,
+                subfold=g1 if g1 < f else 0,
+            )
         dk1 = _wgrad_from_halo(
             dkp1[:, inv_row_map1, :], f, ci, co
         ).astype(k1.dtype)
