@@ -1018,7 +1018,14 @@ def _pick_h_tile_bwd(
     kdim_dx: int, kdim_w: int, itemsize: int, fixed_bytes: int,
 ) -> int:
     """h_tile for the fused-backward kernel: same 12 MiB headroom model as
-    :func:`_pick_h_tile` with both slabs plus the resident dkp block."""
+    :func:`_pick_h_tile` with both slabs plus the resident dkp block.
+
+    ``IMGSEG_PALLAS_BWD_HT`` forces a tile height (A/B hook — the model
+    above is deliberately conservative; a larger tile halves the +-1-row
+    halo DMA overhead if it fits the real VMEM budget)."""
+    forced = int(os.environ.get("IMGSEG_PALLAS_BWD_HT", "0"))
+    if forced and h % forced == 0:
+        return forced
     budget = 12 * 1024 * 1024 - fixed_bytes
     per_row = wp * itemsize * (
         2 * lg + 2 * lg + 2 * lx   # double-buffered mid blocks: ge, y, xw

@@ -184,6 +184,41 @@ class TestFoldedConvBlockFused:
         for a, b in zip(jax.tree.leaves(grads1), jax.tree.leaves(grads2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_merged_bwd_matches_two_kernel_path(self, monkeypatch):
+        """IMGSEG_PALLAS_MERGED_BWD=0 (two dx/wgrad kernels) and =1 (one
+        fused kernel) must produce identical gradients — the merged kernel
+        only changes data movement.  f32 => exact equality is expected, but
+        allclose guards against benign reassociation."""
+        from image_segmentation_tpu.ops.pallas_conv import make_folded_block
+
+        _, x, variables = self._mk()
+        x4 = w2d(x)
+        g = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 4, 64), jnp.float32)
+
+        def grads(flag):
+            monkeypatch.setenv("IMGSEG_PALLAS_MERGED_BWD", flag)
+            make_folded_block.cache_clear()
+
+            def loss(params):
+                m = folded.FoldedConvBlock(
+                    8, 16, dtype=jnp.float32, impl="pallas_fused"
+                )
+                out, _ = m.apply(
+                    {"params": params, "batch_stats": variables["batch_stats"]},
+                    x4, train=True, mutable=["batch_stats"],
+                )
+                return jnp.sum(out * g)
+
+            return jax.grad(loss)(variables["params"])
+
+        g_two = grads("0")
+        g_one = grads("1")
+        make_folded_block.cache_clear()
+        for a, b in zip(jax.tree.leaves(g_two), jax.tree.leaves(g_one)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+            )
+
     def test_train_values_with_concat_perm(self):
         """dec-style block: plain concat layout absorbed via in_perm."""
         key = jax.random.PRNGKey(4)
