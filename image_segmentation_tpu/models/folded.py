@@ -243,12 +243,33 @@ class Folded1x1(nn.Module):
 
     @nn.compact
     def __call__(self, x4: jax.Array) -> jax.Array:
+        import os
+
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (1, 1, self.in_features, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if (
+            self.in_perm is None
+            and os.environ.get("IMGSEG_PALLAS_1X1_BWD", "0") == "1"
+        ):
+            # Identical forward matmul; the BACKWARD runs as one Pallas
+            # pass (dx + dk + db) instead of XLA's transpose-heavy
+            # autodiff wgrad (ops/pallas_conv.make_folded_1x1).  Default
+            # OFF: the silicon A/B LOST (headline 154.5 -> 145.7) — like
+            # the round-3 split custom-VJP attempt, XLA overlaps the
+            # wgrad transposes in context better than the merged kernel
+            # runs; kept as a verified A/B hook for future toolchains.
+            from ..ops.pallas_conv import make_folded_1x1
+
+            interp = jax.default_backend() not in ("tpu", "axon")
+            f1 = make_folded_1x1(
+                self.in_features, self.features, self.fold,
+                jnp.dtype(self.dtype).name, interpret=interp,
+            )
+            return f1(x4.astype(self.dtype), kernel, bias)
         k = kernel[0, 0].astype(self.dtype)
         wbd = jnp.kron(jnp.eye(self.fold, dtype=self.dtype), k)
         if self.in_perm is not None:

@@ -1199,6 +1199,139 @@ def _folded_bwd_fused_pallas(
     return tuple(out)
 
 
+def _1x1_bwd_kernel_body(
+    x_ref, ge_ref, wbt_ref, dx_ref, dk_ref, db_ref,
+    *, ht: int, wp: int, lin: int, lout: int, ci: int, co: int, f: int,
+):
+    """Merged backward of the folded 1x1 conv (``y = x @ kron(I_f, k)``):
+    dx, dk and db in ONE pass over (x, ge).
+
+    XLA's autodiff wgrad (``dwbd = x^T @ ge``) physically transposes the
+    (B, H, Wp, L) activations into a lane-major layout first — two ~0.8 ms
+    copies per step on the stem/out convs at 512^2 b16 (round-3 XProf
+    "data formatting" rows) — and reads x and ge once per product.  Here
+    the row-contraction runs directly on the natural layout
+    (``dot_general`` contracting the row dim), x and ge are read once,
+    and the kron adjoint (sum over fold-slot blocks) happens in the
+    accumulator indexing: ``dk += x_slot^T @ ge_slot`` per slot.
+    """
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    x = x_ref[0].reshape(ht * wp, lin)
+    ge = ge_ref[0].reshape(ht * wp, lout)
+    dx = jnp.dot(ge, wbt_ref[...], preferred_element_type=jnp.float32)
+    dx_ref[0] = dx.reshape(ht, wp, lin).astype(dx_ref.dtype)
+
+    @pl.when(first)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    for t in range(f):
+        xt = x[:, t * ci : (t + 1) * ci]
+        gt = ge[:, t * co : (t + 1) * co]
+        dk_ref[...] = dk_ref[...] + jax.lax.dot_general(
+            xt, gt, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    db_ref[0] = db_ref[0] + jnp.sum(ge.astype(jnp.float32), axis=0)
+
+
+def _folded_1x1_bwd_pallas(
+    x4: jax.Array,
+    ge: jax.Array,
+    wbt: jax.Array,
+    *,
+    ci: int,
+    co: int,
+    fold: int,
+    interpret: bool,
+):
+    """(dx (B,H,Wp,f*ci), dk (ci,co) f32, db (f*co,) f32) in one pass."""
+    b, h, wp, lin = x4.shape
+    lout = ge.shape[-1]
+    per_row = wp * x4.dtype.itemsize * (2 * lin + 2 * lout + 4 * lin)
+    budget = 12 * 1024 * 1024 - (ci * co + lout) * 8
+    ht = next(
+        (t for t in (32, 16, 8, 4, 2, 1)
+         if h % t == 0 and t * per_row <= budget), 1
+    )
+    dx, dk, db = pl.pallas_call(
+        functools.partial(
+            _1x1_bwd_kernel_body,
+            ht=ht, wp=wp, lin=lin, lout=lout, ci=ci, co=co, f=fold,
+        ),
+        grid=(b, h // ht),
+        in_specs=[
+            pl.BlockSpec((1, ht, wp, lin), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, ht, wp, lout), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec(wbt.shape, lambda b, i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ht, wp, lin), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((ci, co), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, lout), lambda b, i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x4.shape, x4.dtype),
+            jax.ShapeDtypeStruct((ci, co), jnp.float32),
+            jax.ShapeDtypeStruct((1, lout), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * wp * (lout * lin + lin * lout),
+            bytes_accessed=(x4.size + ge.size) * x4.dtype.itemsize * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x4, ge, wbt)
+    return dx, dk, db[0]
+
+
+@functools.lru_cache(maxsize=None)
+def make_folded_1x1(
+    in_features: int,
+    features: int,
+    fold: int,
+    dtype_name: str,
+    interpret: bool = False,
+):
+    """Folded 1x1 conv (models/folded.Folded1x1, canonical layout) with a
+    merged single-pass Pallas backward.  Forward is the IDENTICAL XLA
+    matmul expression (``x @ kron(I_f, k) + tile(bias)``); only the
+    backward changes (see :func:`_1x1_bwd_kernel_body`).
+
+    Returned: ``f(x4, kernel (1,1,ci,co), bias (co,)) -> y``.
+    Reference parity: nn.Conv(features, (1,1)) on the unfolded tensor.
+    """
+    f, ci, co = fold, in_features, features
+    dtype = jnp.dtype(dtype_name)
+
+    def _fwd_math(x4, kernel, bias):
+        k = kernel[0, 0].astype(dtype)
+        wbd = jnp.kron(jnp.eye(f, dtype=dtype), k)
+        return x4.astype(dtype) @ wbd + jnp.tile(bias, f).astype(dtype)
+
+    @jax.custom_vjp
+    def conv1x1(x4, kernel, bias):
+        return _fwd_math(x4, kernel, bias)
+
+    def conv1x1_fwd(x4, kernel, bias):
+        return _fwd_math(x4, kernel, bias), (x4.astype(dtype), kernel)
+
+    def conv1x1_bwd(res, ge):
+        x4, kernel = res
+        kt = jnp.transpose(kernel[0, 0], (1, 0)).astype(ge.dtype)
+        wbt = jnp.kron(jnp.eye(f, dtype=ge.dtype), kt)  # == wbd^T
+        dx, dk, db_l = _folded_1x1_bwd_pallas(
+            x4, ge, wbt, ci=ci, co=co, fold=f, interpret=interpret
+        )
+        dk_full = dk.reshape(1, 1, ci, co).astype(kernel.dtype)
+        db = db_l.reshape(f, co).sum(0)
+        return dx, dk_full, db
+
+    conv1x1.defvjp(conv1x1_fwd, conv1x1_bwd)
+    return conv1x1
+
+
 def _bnred_kernel_body(
     g_ref, y_ref, ab_ref, da_ref, db_ref, *, h_tile: int, wp: int, lanes: int
 ):

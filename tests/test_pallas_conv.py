@@ -242,6 +242,39 @@ class TestFoldedConvBlockFused:
         )
 
 
+def test_folded_1x1_merged_bwd_matches_autodiff(monkeypatch):
+    """IMGSEG_PALLAS_1X1_BWD=1 (one Pallas pass: dx+dk+db) vs the default
+    kron-autodiff backward — identical values and gradients.  The merged
+    path is OFF by default (silicon A/B loss, see PERFORMANCE.md) but must
+    stay correct as an A/B hook."""
+    from image_segmentation_tpu.models import folded
+    from image_segmentation_tpu.ops.pallas_conv import make_folded_1x1
+
+    x4 = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 4, 32), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 4, 48), jnp.float32)
+
+    def run(flag):
+        monkeypatch.setenv("IMGSEG_PALLAS_1X1_BWD", flag)
+        make_folded_1x1.cache_clear()
+        m = folded.Folded1x1(8, 12, fold=4, dtype=jnp.float32)
+        v = m.init(KEY, x4)
+        y = m.apply(v, x4)
+        gp, gx = jax.grad(
+            lambda p, xx: jnp.sum(m.apply(p, xx) * g), argnums=(0, 1)
+        )(v, x4)
+        return y, gp, gx
+
+    y0, gp0, gx0 = run("0")
+    y1, gp1, gx1 = run("1")
+    make_folded_1x1.cache_clear()
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1), rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(gp0), jax.tree.leaves(gp1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
+
+
 def test_fused_factory_cold_cache_inside_jit_no_leak():
     """The lru_cached factory's first call may happen INSIDE a jit trace
     (the Evaluator jits one function per sweep point); constants it closes
