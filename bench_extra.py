@@ -180,6 +180,11 @@ def bench_autoencoder():
             "w2d_level0":
                 os.environ.get("IMGSEG_BENCH_AE_W2D", "1") == "1",
             "w2d_impl": "pallas_fused",
+            # Fold-2 level 1: default ON since the round-3 silicon A/B
+            # (911.0 -> 1133.3 img/s, 30.6 -> 40.8% MFU — the unfolded
+            # 64-lane enc2/dec2 convs were the biggest XLA residue).
+            "w2d_level1_fold2":
+                os.environ.get("IMGSEG_BENCH_AE_W2D_L1F2", "1") == "1",
         },
         data=DataConfig(
             dataset="synthetic", synthetic_length=batch, image_size=size,

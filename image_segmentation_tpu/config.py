@@ -76,17 +76,30 @@ class TrainConfig:
 # reference configs train on the test split by mistake (SURVEY.md §7 known
 # defects).
 def preset(name: str) -> TrainConfig:
+    # The silicon-A/B'd fast paths (width-to-depth folded levels with the
+    # fused Pallas ConvBN blocks — exact vs the standard blocks under a
+    # shared parameter tree, tests/test_folded.py) default ON in the
+    # production presets; the models shape-gate them automatically and
+    # the kernels fall back to interpret mode off-TPU.
+    _w2d = {
+        "w2d_level0": True,
+        "w2d_impl": "pallas_fused",
+        "w2d_level1_fold2": True,
+    }
     presets = {
         "unet": TrainConfig(
             model="unet", batch_size=250, num_epochs=200,
+            model_args=dict(_w2d),
             data=DataConfig(augmentations_per_datapoint=4),
         ),
         "large_unet": TrainConfig(
             model="large_unet", batch_size=150, num_epochs=200,
+            model_args=dict(_w2d),
             data=DataConfig(augmentations_per_datapoint=4),
         ),
         "clip_unet": TrainConfig(
             model="clip_unet", batch_size=100, num_epochs=200,
+            model_args=dict(_w2d),
             data=DataConfig(augmentations_per_datapoint=4),
         ),
         "clip_res": TrainConfig(
@@ -99,6 +112,7 @@ def preset(name: str) -> TrainConfig:
         ),
         "autoencoder": TrainConfig(
             model="autoencoder", loss="mse", batch_size=16, num_epochs=200,
+            model_args=dict(_w2d),
             data=DataConfig(augmentations_per_datapoint=0),
         ),
         "segment_classifier": TrainConfig(
@@ -109,6 +123,7 @@ def preset(name: str) -> TrainConfig:
         "prompt": TrainConfig(
             model="clip_unet_prompt", loss="hybrid_binary", batch_size=32,
             num_epochs=100, checkpoint_every=5,
+            model_args=dict(_w2d),
             data=DataConfig(augmentations_per_datapoint=4),
         ),
         # CPU/CI-feasible smoke config (scripts/model_train.py equivalent).

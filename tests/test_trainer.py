@@ -16,6 +16,17 @@ from image_segmentation_tpu.utils import checkpoint as ckpt_lib
 from image_segmentation_tpu.utils import io as io_lib
 
 
+def test_production_presets_default_to_fast_paths():
+    """The silicon-A/B'd folded fast paths (exact vs the standard blocks,
+    tests/test_folded.py) are the production defaults — a user running
+    `scripts/train.py --preset large_unet` gets the benchmarked step."""
+    for name in ("unet", "large_unet", "clip_unet", "autoencoder", "prompt"):
+        args = preset(name).model_args
+        assert args.get("w2d_level0") is True, name
+        assert args.get("w2d_impl") == "pallas_fused", name
+        assert args.get("w2d_level1_fold2") is True, name
+
+
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):
     cfg = preset("smoke")
