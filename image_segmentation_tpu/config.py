@@ -104,6 +104,9 @@ def preset(name: str) -> TrainConfig:
         ),
         "clip_res": TrainConfig(
             model="clip_res", batch_size=100, num_epochs=200,
+            # folded decoder level (dec5 + output block) — no level-1 fold
+            # exists for this architecture
+            model_args={"w2d_level0": True, "w2d_impl": "pallas_fused"},
             data=DataConfig(augmentations_per_datapoint=4),
         ),
         "clip_autoencoder": TrainConfig(
@@ -118,6 +121,7 @@ def preset(name: str) -> TrainConfig:
         "segment_classifier": TrainConfig(
             model="clip_res_class", loss="class_binary", batch_size=16,
             num_epochs=200,
+            model_args={"w2d_level0": True, "w2d_impl": "pallas_fused"},
             data=DataConfig(augmentations_per_datapoint=2),
         ),
         "prompt": TrainConfig(
