@@ -90,7 +90,8 @@ def test_cross_attention_native_multitoken_blockwise(tpu_backend):
 @pytest.mark.skip(
     reason="native Mosaic compile of the colour kernel HANGS (>25 min) on "
     "the current axon remote toolchain (round 1: hard crash; round 2: "
-    "hang; round 3 retry 2026-08-17: still hangs, killed at 500 s).  "
+    "hang; round 3 retries 2026-08-17 and 2026-08-19: still hangs, "
+    "killed at 500-550 s).  "
     "Repro: remove this skip and run this test.  The kernel is "
     "exact in interpret mode (tests/test_pallas_preprocess.py) and the "
     "production augmentor defaults to the XLA colour path, which fuses "
