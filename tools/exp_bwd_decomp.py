@@ -17,6 +17,11 @@ TIMING ONLY, the variant math is wrong — to attribute the gap:
   nowgrad       xw slab build + wgrad dots + db skipped (xw still DMAd)
   noshifts      halo lanes taken UNSHIFTED from xv (drops the two
                 full-slab shift copies per slab; dots stay live)
+  wgrad_tg      CANDIDATE (math-correct, transposed dkp out): transpose
+                g2 ONCE per grid cell, run the wgrad dots in the
+                MXU-native (lanes x sublanes) orientation — replaces
+                Mosaic's per-dot transpose of the 6 big xw slabs with a
+                single (ht*wp, lg) transpose of the shared cotangent
 
 Usage: python tools/exp_bwd_decomp.py [--iters 30] [--variants a,b,...]
 """
@@ -189,14 +194,26 @@ def main():
 
             xw_aug, _ = build_slabs(xw_refs, lx, skip, transform=act)
             g2 = ge_t.reshape(ht * wp, lg)
-            for dy in range(3):
-                for j in range(nj):
-                    a = xw_aug[j][dy : dy + ht].reshape(ht * wp, skdim)
-                    gj = g2[:, j * (lg // nj) : (j + 1) * (lg // nj)]
-                    dkp_ref[dy, j] = dkp_ref[dy, j] + jax.lax.dot_general(
-                        a, gj, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
+            if "wgrad_tg" in skip:
+                g2t = g2.T  # one (ht*wp, lg) transpose, shared by all dots
+                sub_g = lg // nj
+                for dy in range(3):
+                    for j in range(nj):
+                        a = xw_aug[j][dy : dy + ht].reshape(ht * wp, skdim)
+                        gjt = g2t[j * sub_g : (j + 1) * sub_g, :]
+                        # native orientation: gjt lanes x a sublanes
+                        dkp_ref[dy, j] = dkp_ref[dy, j] + jnp.dot(
+                            gjt, a, preferred_element_type=jnp.float32
+                        )
+            else:
+                for dy in range(3):
+                    for j in range(nj):
+                        a = xw_aug[j][dy : dy + ht].reshape(ht * wp, skdim)
+                        gj = g2[:, j * (lg // nj) : (j + 1) * (lg // nj)]
+                        dkp_ref[dy, j] = dkp_ref[dy, j] + jax.lax.dot_general(
+                            a, gj, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
             dbw_ref[0] = dbw_ref[0] + jnp.sum(g2.astype(jnp.float32), axis=0)
 
     def build(skip=frozenset()):
@@ -226,14 +243,18 @@ def main():
             in_specs.append(pl.BlockSpec((2, lx), lambda b, i: (0, 0)))
         if "nopost" not in skip:
             in_specs.append(pl.BlockSpec((2, n_dx), lambda b, i: (0, 0)))
+        dkp_s = (
+            (3, nj, g * c, skdim) if "wgrad_tg" in skip
+            else (3, nj, skdim, g * c)
+        )
         out_specs = [
             pl.BlockSpec((1, ht, wp, n_dx), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((3, nj, skdim, g * c), lambda b, i: (0, 0, 0, 0)),
+            pl.BlockSpec(dkp_s, lambda b, i: (0, 0, 0, 0)),
             pl.BlockSpec((1, lg), lambda b, i: (0, 0)),
         ]
         out_shape = [
             jax.ShapeDtypeStruct((b, h, wp, n_dx), jnp.bfloat16),
-            jax.ShapeDtypeStruct((3, nj, skdim, g * c), jnp.float32),
+            jax.ShapeDtypeStruct(dkp_s, jnp.float32),
             jax.ShapeDtypeStruct((1, lg), jnp.float32),
         ]
         if "nopost" not in skip:
