@@ -16,6 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Keep single-core CI machines from oversubscribing.
 os.environ.setdefault("OMP_NUM_THREADS", "1")
+# Don't let the hundreds of tiny test compiles populate the user's
+# persistent compilation cache (utils/compile_cache.py); the dedicated
+# tests/test_compile_cache.py passes an explicit tmp dir instead.
+os.environ.setdefault("IMGSEG_COMPILE_CACHE", "off")
 
 # Force CPU even when a site hook pre-registers a TPU platform AND sets the
 # jax_platforms CONFIG (which overrides the JAX_PLATFORMS env var); set

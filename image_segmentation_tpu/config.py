@@ -61,6 +61,12 @@ class TrainConfig:
     # NaN sanitizer (SURVEY.md §5: the closest JAX analogue to a race/
     # numerics sanitizer): recompile with NaN checks and fail fast.
     debug_nans: bool = False
+    # Persistent XLA compilation cache directory (utils/compile_cache.py):
+    # None defers to the IMGSEG_COMPILE_CACHE env var or the default
+    # ~/.cache/image_segmentation_tpu/xla; "off" disables.  Compiled
+    # executables are served from disk on re-runs — the 512^2 family
+    # costs ~4 min of remote toolchain compile otherwise.
+    compile_cache: Optional[str] = None
     # Assemble host batches with the C++ background-thread loader
     # (runtime/loader.cpp) instead of the Python BatchPipeline — the torch
     # DataLoader-worker equivalent.  Identical semantics modulo the shuffle

@@ -19,10 +19,11 @@ Integer-space fidelity notes (SURVEY.md §7 "hard parts"):
 - brightness: +offset: clamp then round / -offset: round then clamp
               (perturbations.py:229-230, 269-270)
 - occlusion:  random square -> 0                          (perturbations.py:308-322)
-- salt&pepper: the reference draws round(amount*H*W) pixels WITH replacement
-  (perturbations.py:366-377); we use the iid-per-pixel formulation of its own
-  float-space twin (processing_blocks.py:565-592) whose corruption
-  probability matches to O(amount^2/HW).
+- salt&pepper: round(amount*H*W) uniform pixel draws WITH replacement, each
+  setting the whole channel to 0/255 with p=1/2, last draw winning
+  (perturbations.py:366-377) — the traced scatter-max formulation in
+  ``salt_pepper_draws``.  The iid-per-pixel ``salt_pepper`` remains for the
+  float-space twin's semantics (processing_blocks.py:565-592).
 """
 
 from __future__ import annotations
@@ -132,17 +133,60 @@ def occlusion(key: jax.Array, images_u8: jax.Array, square_size) -> jax.Array:
 def salt_pepper(key: jax.Array, images_u8: jax.Array, amount) -> jax.Array:
     """Whole-pixel (all channels) salt/pepper with per-pixel prob ``amount``.
 
-    ``amount`` may be traced; amount=0 is an exact identity (no u < 0)."""
+    The iid-per-pixel formulation (the reference's own float-space twin,
+    processing_blocks.py:565-592).  ``amount`` may be traced; amount=0 is
+    an exact identity (no u < 0)."""
     n, h, w, _ = images_u8.shape
     u = jax.random.uniform(key, (n, h, w, 1))
     out = jnp.where(u < amount / 2.0, jnp.uint8(0), images_u8)
     return jnp.where(u > 1.0 - amount / 2.0, jnp.uint8(255), out)
 
 
-# Blur pass-count grids; max_passes for the traced variants is DERIVED from
-# these so extending a grid can never silently under-apply passes.
+def salt_pepper_draws(
+    key: jax.Array, images_u8: jax.Array, amount, max_amount: float
+) -> jax.Array:
+    """Salt/pepper with the reference's WITH-REPLACEMENT draw semantics
+    (customDatasets/perturbations.py:366-377): round(amount*H*W) draws of a
+    uniform pixel each, the whole channel set to 0 or 255 with p=1/2, a
+    later draw overwriting an earlier one at the same pixel.
+
+    Traced formulation: ``max_draws = round(max_amount*H*W)`` positions and
+    coin flips are drawn up front; draws with index >= round(amount*H*W)
+    are masked out, so every sweep point shares one compiled program (the
+    traced-occlusion trick).  "Last draw wins" is computed exactly via a
+    scatter-max of the draw index per pixel (well-defined under duplicate
+    indices, unlike a plain scatter) followed by a gather of that draw's
+    coin — bit-equal to applying the draws sequentially.
+
+    ``amount`` may be traced; ``max_amount`` is static (the sweep grid max).
+    """
+    n, h, w, _ = images_u8.shape
+    hw = h * w
+    max_draws = int(round(float(max_amount) * hw))
+    num = jnp.round(jnp.asarray(amount, jnp.float32) * hw).astype(jnp.int32)
+    kpos, kval = jax.random.split(key)
+    pos = jax.random.randint(kpos, (n, max_draws), 0, hw)
+    salt = jax.random.bernoulli(kval, 0.5, (n, max_draws))
+    draw_idx = jnp.arange(max_draws, dtype=jnp.int32)
+    live_pos = jnp.where(draw_idx[None] < num, pos, hw)  # dead draws dropped
+
+    def one(img_flat, posm, salt_i):
+        best = jnp.full((hw,), -1, jnp.int32)
+        best = best.at[posm].max(draw_idx, mode="drop")
+        winner_salt = salt_i[jnp.maximum(best, 0)]
+        pix = jnp.where(winner_salt, jnp.uint8(255), jnp.uint8(0))
+        return jnp.where((best >= 0)[:, None], pix[:, None], img_flat)
+
+    flat = images_u8.reshape(n, hw, images_u8.shape[-1])
+    return jax.vmap(one)(flat, live_pos, salt).reshape(images_u8.shape)
+
+
+# Blur pass-count / salt&pepper amount grids; max_passes / max_amount for
+# the traced variants are DERIVED from these so extending a grid can never
+# silently under-apply passes or truncate draws.
 _INT_BLUR_PARAMS = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
 _FLOAT_BLUR_PARAMS = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+_INT_SP_PARAMS = [0.00, 0.02, 0.04, 0.06, 0.08, 0.10, 0.12, 0.14, 0.16, 0.18]
 
 # Registry with the exact sweep grids of scripts/robustness_evaluation.py:59-92.
 INT_SWEEPS: Dict[str, dict] = {
@@ -184,8 +228,10 @@ INT_SWEEPS: Dict[str, dict] = {
         random=True,
     ),
     "salt_pepper_noise": dict(
-        params=[0.00, 0.02, 0.04, 0.06, 0.08, 0.10, 0.12, 0.14, 0.16, 0.18],
-        fn=lambda key, img, p: salt_pepper(key, img, p),
+        params=_INT_SP_PARAMS,
+        fn=lambda key, img, p: salt_pepper_draws(
+            key, img, p, max_amount=max(_INT_SP_PARAMS)
+        ),
         random=True,
     ),
 }

@@ -149,13 +149,23 @@ class BatchPipeline:
                 # Remainder batch (drop_last=False, eval path): replicated
                 # placement of the FULL batch — every process has the whole
                 # (in-memory) split and the same deterministic order, so the
-                # replicated value is identical everywhere.
+                # replicated value is identical everywhere.  Assembled via
+                # make_array_from_process_local_data (each process supplies
+                # the full value): a plain device_put against a sharding
+                # spanning non-addressable devices raises under
+                # process_count > 1 — proven by tests/test_multiprocess.py's
+                # evaluator leg, which executes this branch with 2 and 4
+                # real processes.
                 rep = jax.sharding.NamedSharding(
                     self.sharding.mesh, jax.sharding.PartitionSpec()
                 )
                 return tuple(
-                    jax.device_put(src[idx], rep)
-                    for src in (self.dataset.images, self._masks)
+                    jax.make_array_from_process_local_data(
+                        rep, src[idx], (n_i,) + shp
+                    )
+                    for src, shp in zip(
+                        (self.dataset.images, self._masks), item_shapes
+                    )
                 )
             # No sharding: process-local slice on the default device (the
             # reference's per-rank validation semantics).

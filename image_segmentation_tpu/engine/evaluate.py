@@ -41,6 +41,7 @@ from ..data.pipeline import BatchPipeline
 from ..ops import augment as aug_ops
 from ..ops import losses as L
 from ..parallel import mesh as mesh_lib
+from ..utils import compile_cache
 from ..utils import io as io_lib
 
 
@@ -64,6 +65,7 @@ class Evaluator:
         mesh="auto",
     ):
         self.model = model
+        compile_cache.enable_compilation_cache()
         self.mesh = mesh_lib.make_mesh(n_model=1) if mesh == "auto" else mesh
         self.state = mesh_lib.replicate(self.mesh, state)
         self.sharding = mesh_lib.batch_sharding(self.mesh)

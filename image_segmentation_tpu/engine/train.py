@@ -44,6 +44,7 @@ from ..models.registry import build_model
 from ..ops import augment as aug_ops
 from ..ops import losses as L
 from ..parallel import mesh as mesh_lib
+from ..utils import compile_cache
 from ..utils import checkpoint as ckpt_lib
 from ..utils import io as io_lib
 
@@ -147,6 +148,7 @@ class Trainer:
         self.config = config
         if config.debug_nans:
             jax.config.update("jax_debug_nans", True)
+        compile_cache.enable_compilation_cache(config.compile_cache)
         self.mesh = (
             mesh
             if mesh is not None

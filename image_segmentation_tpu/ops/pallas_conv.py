@@ -59,6 +59,19 @@ from jax.experimental import pallas as pl
 _FATDOT = os.environ.get("IMGSEG_PALLAS_FATDOT", "0") == "1"
 
 
+def _wgrad_tg_enabled() -> bool:
+    """Transposed-cotangent weight-gradient dots in the merged backward
+    kernel: transpose g2 ONCE per grid cell and run every dkp dot in the
+    MXU-native (lhs lanes x rhs sublanes) orientation, accumulating dkp
+    TRANSPOSED (un-transposed once outside the kernel — a sub-MB f32
+    tensor).  The doubly-sublane-contracting dot_general form measured
+    2.37 ms/kernel on the enc1-conv2 shape vs 1.94 native with a ~free
+    transpose (tools/exp_bwd_decomp.py, 2026-08-19); the executed-FLOP
+    peak bound of those dots is 2.09 ms, so the native form runs at
+    ~MXU peak.  ``IMGSEG_PALLAS_WGRAD_TG=0`` opts out."""
+    return os.environ.get("IMGSEG_PALLAS_WGRAD_TG", "1") == "1"
+
+
 def _merged_bwd_enabled() -> bool:
     """Fused dx+wgrad backward kernels (see
     :func:`_bwd_fused_kernel_body`); ``IMGSEG_PALLAS_MERGED_BWD=0`` opts
@@ -880,6 +893,7 @@ def _bwd_fused_kernel_body(
     split_out: tuple[int, int] | None = None,
     sub_dx: int = 0,
     sub_w: int = 0,
+    wgrad_tg: bool = False,
 ):
     """Input-gradient AND weight-gradient of one folded conv in ONE kernel.
 
@@ -990,6 +1004,13 @@ def _bwd_fused_kernel_body(
         dkp_ref[...] = jnp.zeros_like(dkp_ref)
         dbw_ref[...] = jnp.zeros_like(dbw_ref)
 
+    # With ``wgrad_tg`` the cotangent is transposed ONCE and every dkp dot
+    # runs in the MXU-native (lhs lanes x rhs sublanes) orientation,
+    # accumulating dkp TRANSPOSED — the caller un-transposes the small f32
+    # block once.  The dot_general form below contracts the SUBLANE dim of
+    # BOTH operands (doubly MXU-transposed): 2.37 vs 1.94 ms/kernel on the
+    # enc1-conv2 shape (tools/exp_bwd_decomp.py, 2026-08-19).
+    g2t = g2.T if wgrad_tg else None
     if sub_w:
         njw = (lx // ci_w) // sub_w
         sub_g = lg // njw
@@ -997,19 +1018,30 @@ def _bwd_fused_kernel_body(
         for dy in range(3):
             for j in range(njw):
                 a = xw_aug[j][dy : dy + ht].reshape(ht * wp, skdim_w)
-                gj = g2[:, j * sub_g : (j + 1) * sub_g]
-                dkp_ref[dy, j] = dkp_ref[dy, j] + jax.lax.dot_general(
-                    a, gj, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                if wgrad_tg:
+                    gjt = g2t[j * sub_g : (j + 1) * sub_g]
+                    dkp_ref[dy, j] = dkp_ref[dy, j] + jnp.dot(
+                        gjt, a, preferred_element_type=jnp.float32
+                    )
+                else:
+                    gj = g2[:, j * sub_g : (j + 1) * sub_g]
+                    dkp_ref[dy, j] = dkp_ref[dy, j] + jax.lax.dot_general(
+                        a, gj, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
     else:
         kdim_w = lx + 2 * ci_w
         for dy in range(3):
             a = xw_aug[dy : dy + ht].reshape(ht * wp, kdim_w)
-            dkp_ref[dy] = dkp_ref[dy] + jax.lax.dot_general(
-                a, g2, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if wgrad_tg:
+                dkp_ref[dy] = dkp_ref[dy] + jnp.dot(
+                    g2t, a, preferred_element_type=jnp.float32
+                )
+            else:
+                dkp_ref[dy] = dkp_ref[dy] + jax.lax.dot_general(
+                    a, g2, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
     dbw_ref[0] = dbw_ref[0] + jnp.sum(g2.astype(jnp.float32), axis=0)
 
 
@@ -1082,12 +1114,16 @@ def _folded_bwd_fused_pallas(
     fold_w = lx // ci_w
     kdim_dx = lg + 2 * ci_dx
     kdim_w = lx + 2 * ci_w
+    wgrad_tg = _wgrad_tg_enabled()
     if sub_w:
         njw = fold_w // sub_w
         skdim_w = (sub_w + 2) * ci_w
-        dkp_shape = (3, njw, skdim_w, lg // njw)
+        dkp_shape = (
+            (3, njw, lg // njw, skdim_w) if wgrad_tg
+            else (3, njw, skdim_w, lg // njw)
+        )
     else:
-        dkp_shape = (3, kdim_w, lg)
+        dkp_shape = (3, lg, kdim_w) if wgrad_tg else (3, kdim_w, lg)
     fixed = int(np.prod(dkp_shape)) * 4 + 16 * lg
     ht = h_tile or _pick_h_tile_bwd(
         h, wp, lg, lx, n_dx, kdim_dx, kdim_w, ge.dtype.itemsize, fixed
@@ -1103,7 +1139,7 @@ def _folded_bwd_fused_pallas(
         out_dtype=ge.dtype,
         gfold=gfold, post=post, pre_w=ab_pre is not None,
         lanes_b=lanes_b, split_out=split_out,
-        sub_dx=sub_dx, sub_w=sub_w,
+        sub_dx=sub_dx, sub_w=sub_w, wgrad_tg=wgrad_tg,
     )
     flops = 2 * b * h * wp * 3 * (
         ((sub_dx + 2) if sub_dx else (fold + 2)) * ci_dx * n_dx
@@ -1191,6 +1227,10 @@ def _folded_bwd_fused_pallas(
     else:
         dx = next(it)
     dkp, dbw = next(it), next(it)
+    if wgrad_tg:
+        # Un-transpose the TG accumulation back to the dense kernel-row
+        # frame — a one-off XLA transpose of a sub-MB f32 block per step.
+        dkp = jnp.swapaxes(dkp, -1, -2)
     if sub_w:
         dkp = _dkp_from_subfold(dkp, fold_w, sub_w, ci_w, lg // fold_w)
     out = [dx, dkp, dbw[0]]

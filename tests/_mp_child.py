@@ -1,10 +1,16 @@
-"""Child process for the 2-process CPU-collective test (test_multiprocess.py).
+"""Child process for the multi-process CPU-collective test (test_multiprocess.py).
 
-Each process provisions 4 virtual CPU devices (8 global over 2 processes),
-rendezvouses via ``distributed_init``, and runs ONE global train step of a
-tiny UNet over a (data=4, model=2) mesh — the TPU-native realization of the
-reference's torchrun + DDP + DistributedSampler path
-(scripts/train_distributed.py:13-66, models/model_wrappers.py:795-1050).
+Each process provisions ``argv[5]`` virtual CPU devices (8 global across
+``argv[2]`` processes), rendezvouses via ``distributed_init``, and over a
+(data=4, model=2) global mesh runs:
+
+1. an EVALUATOR leg on the deterministic init state — the clean split plus
+   one integer-battery cell, with a batch size chosen so the last batch is
+   a REMAINDER (drop_last=False) and the replicated-placement branch of
+   ``data/pipeline.py`` executes with non-addressable devices;
+2. ONE global train step of a tiny UNet — the TPU-native realization of the
+   reference's torchrun + DDP + DistributedSampler path
+   (scripts/train_distributed.py:13-66, models/model_wrappers.py:795-1050).
 
 Prints one JSON line with the observations the parent asserts on.
 """
@@ -19,7 +25,7 @@ PORT = sys.argv[3]
 # "python" (BatchPipeline) or "native" (C++ NativeBatchPipeline — the
 # multi-host form of the runtime/loader.cpp path).
 LOADER = sys.argv[4] if len(sys.argv) > 4 else "python"
-LOCAL_DEVICES = 4
+LOCAL_DEVICES = int(sys.argv[5]) if len(sys.argv) > 5 else 4
 
 # Must precede any jax import; override the parent pytest's 8-device flag.
 os.environ["XLA_FLAGS"] = (
@@ -74,6 +80,29 @@ if LOADER == "native":
     assert native_loader.native_loader_available(), "C++ loader must build"
 trainer = Trainer(cfg, mesh=mesh, make_artifacts=False)
 
+# ---- Evaluator leg (on the deterministic INIT state, before the train
+# step donates it): clean metrics + one integer-battery cell.  length=10
+# over batch 4 gives batches 4,4,2 — the final 2-item batch cannot shard
+# over data=4, so the replicated remainder branch of data/pipeline.py
+# executes with non-addressable devices.  All metric cross-device
+# reductions are exact f32 sums of pixel counts, so the values must be
+# BIT-FOR-BIT identical across process layouts (asserted by the parent
+# against a 1-process run).
+from image_segmentation_tpu.data.datasets import synthetic_dataset  # noqa: E402
+from image_segmentation_tpu.engine.evaluate import Evaluator  # noqa: E402
+
+eval_ds = synthetic_dataset(
+    length=10, height=32, width=32, num_classes=3, seed=123
+)
+evaluator = Evaluator(
+    trainer.model, trainer.state, eval_ds, batch_size=4, mesh=mesh, seed=7
+)
+clean_metrics = evaluator.test()
+# One cell of the integer battery (the published-artifact path).
+cell_iou, cell_pa, cell_dice = evaluator._run_sweep_point(
+    "int", "gaussian_noise", 8
+)
+
 train_pipe, _ = trainer._pipelines()
 if LOADER == "native":
     # No silent fallback: the C++ loader must actually be driving.
@@ -113,6 +142,8 @@ print(
             "addressable_shards": len(addressable),
             "shard_rows": shard_rows,
             "per_row": per_row,
+            "clean_metrics": clean_metrics,
+            "battery_cell": [cell_iou, cell_pa, cell_dice],
         }
     ),
     flush=True,

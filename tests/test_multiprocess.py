@@ -1,4 +1,4 @@
-"""TRUE multi-process (multi-host) data + train path, 2 real processes.
+"""TRUE multi-process (multi-host) data + train + EVAL paths, real processes.
 
 The reference's distributed entry point is torchrun spawning one process per
 GPU with NCCL rendezvous + DistributedSampler sharding
@@ -7,9 +7,16 @@ GPU with NCCL rendezvous + DistributedSampler sharding
 global ``jax.Array`` via ``jax.make_array_from_process_local_data``
 (data/pipeline.py).  Round 2 shipped a latently broken version of this path
 (per-process ``device_put`` against the global sharding — VERDICT.md missing
-#1); this test runs the REAL thing: two OS processes, 4 virtual CPU devices
-each, gloo CPU collectives, one global train step over a (data=4, model=2)
-mesh.
+#1); this test runs the REAL thing: N OS processes, 8 virtual CPU devices
+total, gloo CPU collectives, over a (data=4, model=2) mesh:
+
+- one global train step (both the Python and C++ loaders);
+- the EVALUATOR with a remainder batch, so the replicated-placement branch
+  of ``data/pipeline.py`` executes with non-addressable devices (the
+  construction class that was latently broken in round 2) — its clean
+  metrics and one integer-battery cell must match a 1-process run of the
+  identical program BIT-FOR-BIT (every cross-device metric reduction is an
+  exact f32 sum of pixel counts).
 """
 
 import json
@@ -23,6 +30,10 @@ import pytest
 _CHILD = os.path.join(os.path.dirname(__file__), "_mp_child.py")
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+N_GLOBAL_DEVICES = 8
+N_DATA = 4  # mesh is (data=4, model=2) in the child
+PER_ROW = 2  # GLOBAL_BATCH // N_DATA
+
 
 def _free_port() -> int:
     with socket.socket() as s:
@@ -30,14 +41,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("loader", ["python", "native"])
-def test_two_process_global_train_step(loader):
-    if loader == "native":
-        from image_segmentation_tpu.data import native_loader
-
-        if not native_loader.native_loader_available():
-            pytest.skip("C++ native loader did not build on this host")
+def _run_children(n_proc: int, local_devices: int, loader: str):
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -46,14 +50,15 @@ def test_two_process_global_train_step(loader):
     env.pop("XLA_FLAGS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, _CHILD, str(pid), "2", str(port), loader],
+            [sys.executable, _CHILD, str(pid), str(n_proc), str(port),
+             loader, str(local_devices)],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             env=env,
             cwd=_REPO,
             text=True,
         )
-        for pid in range(2)
+        for pid in range(n_proc)
     ]
     outs = []
     for p in procs:
@@ -62,16 +67,56 @@ def test_two_process_global_train_step(loader):
             f"child failed (rc={p.returncode})\nstdout:\n{out}\nstderr:\n{err}"
         )
         outs.append(json.loads(out.strip().splitlines()[-1]))
+    return outs
+
+
+_REFERENCE = {}
+
+
+def _single_process_reference():
+    """The same global program on 1 process x 8 devices (memoized)."""
+    if "ref" not in _REFERENCE:
+        (out,) = _run_children(1, N_GLOBAL_DEVICES, "python")
+        _REFERENCE["ref"] = out
+    return _REFERENCE["ref"]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "n_proc,local_devices,loader",
+    [(2, 4, "python"), (2, 4, "native"), (4, 2, "python")],
+)
+def test_multi_process_global_train_step(n_proc, local_devices, loader):
+    if loader == "native":
+        from image_segmentation_tpu.data import native_loader
+
+        if not native_loader.native_loader_available():
+            pytest.skip("C++ native loader did not build on this host")
+    outs = _run_children(n_proc, local_devices, loader)
 
     by_pid = {o["process_id"]: o for o in outs}
-    assert set(by_pid) == {0, 1}
-    # Both processes executed the SAME global program: identical loss.
-    assert by_pid[0]["loss"] == pytest.approx(by_pid[1]["loss"], abs=1e-6)
-    for o in outs:
+    assert set(by_pid) == set(range(n_proc))
+    # Every process executed the SAME global program: identical loss.
+    losses = {o["loss"] for o in outs}
+    assert max(losses) == pytest.approx(min(losses), abs=1e-6)
+    data_rows_per_proc = N_DATA // n_proc
+    for pid, o in by_pid.items():
         assert o["global_shape"] == [8, 32, 32, 3]
-        assert o["n_devices"] == 8
-        assert o["addressable_shards"] == 4
-    # Each process holds its own contiguous half of the global batch:
-    # process 0 data-rows {0, 2}, process 1 data-rows {4, 6} (2 items/row).
-    assert by_pid[0]["shard_rows"] == [0, 0, 2, 2]
-    assert by_pid[1]["shard_rows"] == [4, 4, 6, 6]
+        assert o["n_devices"] == N_GLOBAL_DEVICES
+        assert o["addressable_shards"] == local_devices
+        # Each process holds its own contiguous rows of the global batch
+        # (2 model-replica shards per data row).
+        expected = sorted(
+            (pid * data_rows_per_proc + r) * PER_ROW
+            for r in range(data_rows_per_proc)
+            for _ in range(2)
+        )
+        assert o["shard_rows"] == expected
+
+    # Evaluator parity: clean metrics and the battery cell must match the
+    # 1-process value BIT-FOR-BIT (exact count sums; repr round-trips
+    # through JSON losslessly).
+    ref = _single_process_reference()
+    for o in outs:
+        assert o["clean_metrics"] == ref["clean_metrics"]
+        assert o["battery_cell"] == ref["battery_cell"]

@@ -117,6 +117,77 @@ class TestSaltPepper:
         assert abs(frac - amount) < 0.02
 
 
+class TestSaltPepperDraws:
+    """The with-replacement draw semantics of the reference's integer-space
+    wrapper (customDatasets/perturbations.py:366-377), traced formulation."""
+
+    def test_zero_amount_identity(self):
+        imgs = u8_batch()
+        np.testing.assert_array_equal(
+            np.asarray(P.salt_pepper_draws(KEY, imgs, 0.0, max_amount=0.18)),
+            np.asarray(imgs),
+        )
+
+    def test_matches_sequential_application(self):
+        """Bit-equal to applying the same draws one by one, last wins."""
+        n, h, w = 2, 24, 24
+        hw = h * w
+        imgs = jnp.full((n, h, w, 3), 128, jnp.uint8)
+        amount, max_amount = 0.10, 0.18
+        out = np.asarray(
+            P.salt_pepper_draws(KEY, imgs, amount, max_amount=max_amount)
+        )
+        # Reconstruct the draw streams exactly as salt_pepper_draws does.
+        kpos, kval = jax.random.split(KEY)
+        max_draws = int(round(max_amount * hw))
+        pos = np.asarray(jax.random.randint(kpos, (n, max_draws), 0, hw))
+        salt = np.asarray(jax.random.bernoulli(kval, 0.5, (n, max_draws)))
+        num = int(round(amount * hw))
+        ref = np.full((n, h, w, 3), 128, np.uint8)
+        for i in range(n):
+            for d in range(num):  # sequential, with replacement, last wins
+                y, x = divmod(int(pos[i, d]), w)
+                ref[i, y, x, :] = 255 if salt[i, d] else 0
+        np.testing.assert_array_equal(out, ref)
+
+    def test_corrupted_pixel_count_distribution(self):
+        """Distinct-pixel count under with-replacement: mean over keys must
+        match the occupancy expectation HW*(1-(1-1/HW)^num) — distinguishes
+        this from both 'exactly num' (w/o replacement) and the iid form."""
+        n, h, w = 1, 64, 64
+        hw = h * w
+        amount = 0.16
+        num = int(round(amount * hw))
+        imgs = jnp.full((n, h, w, 3), 128, jnp.uint8)
+        counts = []
+        for s in range(20):
+            out = np.asarray(
+                P.salt_pepper_draws(
+                    jax.random.PRNGKey(s), imgs, amount, max_amount=0.18
+                )
+            )
+            changed = ((out == 255) | (out == 0)).all(axis=-1)
+            counts.append(changed.sum())
+            assert changed.sum() <= num  # never more than the draw count
+        expect = hw * (1.0 - (1.0 - 1.0 / hw) ** num)
+        mean = float(np.mean(counts))
+        assert abs(mean - expect) < 0.02 * hw
+        # and strictly below num on average: collisions must actually occur
+        assert mean < num
+
+    def test_traced_amount_one_program(self):
+        """The sweep entry traces ``amount``: one jitted program serves
+        every grid point and matches the eager per-value results."""
+        imgs = u8_batch()
+        fn = P.INT_SWEEPS["salt_pepper_noise"]["fn"]
+        jfn = jax.jit(fn)
+        for amount in (0.0, 0.04, 0.18):
+            np.testing.assert_array_equal(
+                np.asarray(jfn(KEY, imgs, amount)),
+                np.asarray(fn(KEY, imgs, amount)),
+            )
+
+
 class TestRegistryGrids:
     def test_sweep_grids_match_reference(self):
         # scripts/robustness_evaluation.py:59-92

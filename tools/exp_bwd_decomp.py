@@ -22,8 +22,21 @@ TIMING ONLY, the variant math is wrong — to attribute the gap:
                 MXU-native (lanes x sublanes) orientation — replaces
                 Mosaic's per-dot transpose of the 6 big xw slabs with a
                 single (ht*wp, lg) transpose of the shared cotangent
+  tgplus        TIMING ONLY: original dots PLUS the g2 transpose kept
+                live — (tgplus - full) isolates the transpose cost
+  wgrad_nodots  TIMING ONLY: xw slab build + act + db kept, dkp dots
+                skipped — isolates the dot cost inside the wgrad path
+  slimshift     CANDIDATE (math-correct): lane-slice BEFORE the halo
+                sublane shift — the shifted slabs are only consumed for
+                ci of their lg lanes, so shifting full-lane slabs does
+                f x the needed VPU copy work
+
+Variants may be combined with '+': --variants wgrad_tg+slimshift.
 
 Usage: python tools/exp_bwd_decomp.py [--iters 30] [--variants a,b,...]
+
+Candidate variants (wgrad_tg, tgplus, wgrad_nodots) are in the default
+list; pass --variants to time a subset.
 """
 import argparse
 import functools
@@ -80,23 +93,32 @@ def main():
         top = jnp.where(i > 0, top, jnp.zeros_like(top))
         bot = jnp.where(i < n_h - 1, bot, jnp.zeros_like(bot))
         xv = jnp.concatenate([top, mid, bot], axis=0)
+        ci_l = lanes // f
         if "noshifts" in skip:
-            xv_r = xv
-            xv_l = xv
+            xv_r = xv[:, :, (f - 1) * ci_l :]
+            xv_l = xv[:, :, :ci_l]
+        elif "slimshift" in skip:
+            zrow = jnp.zeros((ht + 2, 1, ci_l), xv.dtype)
+            xv_r = jnp.concatenate(
+                [zrow, xv[:, :-1, (f - 1) * ci_l :]], axis=1
+            )
+            xv_l = jnp.concatenate([xv[:, 1:, :ci_l], zrow], axis=1)
         else:
             zrow = jnp.zeros((ht + 2, 1, lanes), xv.dtype)
-            xv_r = jnp.concatenate([zrow, xv[:, :-1]], axis=1)
-            xv_l = jnp.concatenate([xv[:, 1:], zrow], axis=1)
+            xv_r = jnp.concatenate([zrow, xv[:, :-1]], axis=1)[
+                :, :, (f - 1) * ci_l :
+            ]
+            xv_l = jnp.concatenate([xv[:, 1:], zrow], axis=1)[:, :, :ci_l]
         subs = []
         for j in range(nj):
             parts = []
             if j == 0:
-                parts.append(xv_r[:, :, (f - 1) * ci :])
+                parts.append(xv_r)
             lo = max(j * g - 1, 0) * ci
             hi = min(j * g + g + 1, f) * ci
             parts.append(xv[:, :, lo:hi])
             if j == nj - 1:
-                parts.append(xv_l[:, :, :ci])
+                parts.append(xv_l)
             subs.append(jnp.concatenate(parts, axis=-1))
         return subs, mid_out
 
@@ -205,6 +227,21 @@ def main():
                         dkp_ref[dy, j] = dkp_ref[dy, j] + jnp.dot(
                             gjt, a, preferred_element_type=jnp.float32
                         )
+            elif "wgrad_nodots" in skip:
+                pass
+            elif "tgplus" in skip:
+                g2t = g2.T  # transpose kept live via the db reduction
+                dbw_ref[0] = dbw_ref[0] + jnp.sum(
+                    g2t.astype(jnp.float32), axis=1
+                )
+                for dy in range(3):
+                    for j in range(nj):
+                        a = xw_aug[j][dy : dy + ht].reshape(ht * wp, skdim)
+                        gj = g2[:, j * (lg // nj) : (j + 1) * (lg // nj)]
+                        dkp_ref[dy, j] = dkp_ref[dy, j] + jax.lax.dot_general(
+                            a, gj, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
             else:
                 for dy in range(3):
                     for j in range(nj):
@@ -303,10 +340,11 @@ def main():
         args.variants.split(",")
         if args.variants
         else ["full", "gfold_noop", "bf16fold", "nogfold", "nopre", "nopost",
-              "nodx", "nowgrad", "noshifts"]
+              "nodx", "nowgrad", "noshifts", "wgrad_tg", "tgplus",
+              "wgrad_nodots", "slimshift", "wgrad_tg+slimshift"]
     )
     for name in names:
-        skip = frozenset() if name == "full" else frozenset([name])
+        skip = frozenset() if name == "full" else frozenset(name.split("+"))
         run = build(skip)
 
         @jax.jit

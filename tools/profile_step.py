@@ -26,6 +26,11 @@ def main():
                     help="fold level 1 at f/2 (the bench.py default)")
     ap.add_argument("--model", default="large_unet")
     ap.add_argument("--geometry", default="gather")
+    ap.add_argument("--loss", default=None,
+                    help="override (mse for the autoencoder config; "
+                         "hybrid_binary is implied by --model "
+                         "clip_unet_prompt)")
+    ap.add_argument("--augs", type=int, default=4)
     args = ap.parse_args()
 
     import jax
@@ -34,8 +39,12 @@ def main():
     from image_segmentation_tpu.config import DataConfig, TrainConfig
     from image_segmentation_tpu.engine.train import Trainer
 
+    loss = args.loss or {
+        "autoencoder": "mse", "clip_unet_prompt": "hybrid_binary",
+    }.get(args.model, "hybrid")
     cfg = TrainConfig(
         model=args.model,
+        loss=loss,
         batch_size=args.batch,
         num_epochs=1,
         model_args=(
@@ -45,7 +54,7 @@ def main():
         ),
         data=DataConfig(
             dataset="synthetic", synthetic_length=args.batch,
-            image_size=args.size, augmentations_per_datapoint=4,
+            image_size=args.size, augmentations_per_datapoint=args.augs,
         ),
     )
     trainer = Trainer(cfg, make_artifacts=False)
@@ -55,7 +64,19 @@ def main():
         trainer._train_step = trainer._build_train_step()
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (args.batch, args.size, args.size, 3), dtype=np.uint8))
-    masks = jnp.asarray(rng.integers(0, 3, (args.batch, args.size, args.size)).astype(np.uint8))
+    if trainer.task == "prompt":
+        # The prompt task consumes RAW palette masks (the prompt heatmap and
+        # binary label are derived on device, data/prompts.py).
+        from image_segmentation_tpu.data import records
+        palette = np.array(
+            [0, records.CAT_PALETTE, records.DOG_PALETTE,
+             records.UNCERTAIN_PALETTE], dtype=np.uint8,
+        )
+        masks = jnp.asarray(
+            palette[rng.integers(0, 4, (args.batch, args.size, args.size))]
+        )
+    else:
+        masks = jnp.asarray(rng.integers(0, 3, (args.batch, args.size, args.size)).astype(np.uint8))
 
     # Warmup (vary key per step: the axon runtime caches identical executions)
     for i in range(3):
