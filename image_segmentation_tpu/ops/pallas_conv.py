@@ -68,8 +68,12 @@ def _wgrad_tg_enabled() -> bool:
     2.37 ms/kernel on the enc1-conv2 shape vs 1.94 native with a ~free
     transpose (tools/exp_bwd_decomp.py, 2026-08-19); the executed-FLOP
     peak bound of those dots is 2.09 ms, so the native form runs at
-    ~MXU peak.  ``IMGSEG_PALLAS_WGRAD_TG=0`` opts out."""
-    return os.environ.get("IMGSEG_PALLAS_WGRAD_TG", "1") == "1"
+    ~MXU peak.  Default OFF: the full-step silicon A/B is a WASH
+    (TG=0 {154.31, 154.57} vs TG=1 {154.14, 154.11, 153.18} img/s,
+    paired warm runs 2026-08-19) — the per-kernel 0.4 ms does not
+    surface in the composed step.  ``IMGSEG_PALLAS_WGRAD_TG=1`` opts in
+    (exact math; the equivalence suites pass either way)."""
+    return os.environ.get("IMGSEG_PALLAS_WGRAD_TG", "0") == "1"
 
 
 def _merged_bwd_enabled() -> bool:

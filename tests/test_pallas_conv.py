@@ -213,10 +213,21 @@ class TestFoldedConvBlockFused:
 
         g_two = grads("0")
         g_one = grads("1")
+        # Non-default transposed-cotangent wgrad dots (the orientation is
+        # the only change; dkp is un-transposed outside the kernel).
+        monkeypatch.setenv("IMGSEG_PALLAS_WGRAD_TG", "1")
+        g_tg = grads("1")
+        monkeypatch.delenv("IMGSEG_PALLAS_WGRAD_TG")
         make_folded_block.cache_clear()
-        for a, b in zip(jax.tree.leaves(g_two), jax.tree.leaves(g_one)):
+        for a, b, c in zip(
+            jax.tree.leaves(g_two), jax.tree.leaves(g_one),
+            jax.tree.leaves(g_tg),
+        ):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=1e-6, atol=1e-6
             )
 
     def test_train_values_with_concat_perm(self):
