@@ -302,8 +302,12 @@ class Trainer:
             )
             masks = labels.astype(jnp.int32)
             if augment and self.augmentor is not None:
-                images, masks, prompts_map = self.augmentor(
-                    ka, images, masks, prompts_map
+                # uint8-space joint geometry (image+mask packed u8x4 + the
+                # f32 heatmap bitcast i32 through the Pallas shear rolls):
+                # identical results, one VMEM pass per shear instead of the
+                # 5-channel f32 roll/select chain.
+                images, masks, prompts_map = self.augmentor.apply_u8(
+                    ka, images_u8, labels.astype(jnp.uint8), prompts_map
                 )
             return (images, prompts_map), {"images": images, "masks": masks}
         if augment and self.augmentor is not None and self.task != "reconstruction":

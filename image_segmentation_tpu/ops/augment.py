@@ -173,6 +173,69 @@ def _row_shift(x: jax.Array, shifts: jax.Array, max_shift: int) -> jax.Array:
     return out[:, :, :w, :]
 
 
+def _shear3_shifts(angles_deg: jax.Array, n: int, h: int, w: int):
+    """Quarter-turn count + the two per-row shift tables of the 3-shear
+    rotation decomposition (shared by the NHWC and packed-i32 paths so the
+    two stay bit-identical)."""
+    quarter = jnp.round(angles_deg / 90.0)  # in {-1, 0, 1} for |angle|<=90
+    phi = (angles_deg - quarter * 90.0) * (jnp.pi / 180.0)
+    a = -jnp.tan(phi / 2.0)          # |a| <= tan(22.5deg) ~ 0.4142
+    b = jnp.sin(phi)                 # |b| <= sin(45deg)  ~ 0.7071
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    rows = jax.lax.broadcasted_iota(jnp.float32, (n, h), 1)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (n, w), 1)
+    # Pass inverse maps (out -> src): ShearX: src_x = x + a*(y - cy);
+    # ShearY: src_y = y + b*(x - cx).  _row_shift implements
+    # out[j] = in[j - s], so s = -round(a*(y - cy)) etc.
+    sx = -jnp.round(a[:, None] * (rows - cy)).astype(jnp.int32)
+    sy = -jnp.round(b[:, None] * (cols - cx)).astype(jnp.int32)
+    return quarter, sx, sy
+
+
+def random_geometric_packed(
+    key: jax.Array,
+    packed: jax.Array,
+    n: int,
+    max_degrees: float = 90.0,
+) -> jax.Array:
+    """Joint flip+rotation on an (m, h, w) int32 PACKED stack, m = reps*n.
+
+    The per-sample geometry is sampled for ``n`` samples exactly as
+    :func:`random_geometric` does (same key splits, same draws) and tiled
+    across the ``reps`` groups, so ``packed[i]`` and ``packed[n + i]``
+    receive sample ``i``'s transform.  The rolls and selects move whole
+    32-bit elements, so this is bit-identical to running
+    :func:`random_geometric` on the channel-stacked NHWC array — which is
+    how the prompt augmentor uses it: group 0 is the u8x4-packed
+    image+mask, group 1 the f32 prompt heatmap bitcast to i32 (zero fill
+    unpacks to 0.0f).  Requires square h == w.
+    """
+    m, h, w = packed.shape
+    assert m % n == 0 and h == w
+    reps = m // n
+    k_flip, k_rot = jax.random.split(key)
+    flip = jnp.tile(jax.random.bernoulli(k_flip, 0.5, (n,)), reps)
+    angles = jnp.tile(
+        jax.random.uniform(k_rot, (n,), minval=-max_degrees, maxval=max_degrees),
+        reps,
+    )
+    x = jnp.where(flip[:, None, None], packed[:, :, ::-1], packed)
+    x = jax.lax.optimization_barrier(x)
+
+    quarter, sx, sy = _shear3_shifts(angles, m, h, w)
+    q = quarter[:, None, None]
+    x_t = jnp.swapaxes(x, 1, 2)
+    base = jnp.where(q == 1, x_t[:, ::-1, :], jnp.where(q == -1, x_t[:, :, ::-1], x))
+    base = jax.lax.optimization_barrier(base)
+
+    from .pallas_roll import pallas_col_shift, pallas_row_shift
+
+    interp = jax.default_backend() not in ("tpu", "axon")
+    out = pallas_row_shift(base, sx, interpret=interp)
+    out = pallas_col_shift(out, sy, interpret=interp)
+    return pallas_row_shift(out, sx, interpret=interp)
+
+
 def _rotate_shear3(stacked: jax.Array, angles_deg: jax.Array) -> jax.Array:
     """Per-sample nearest rotation as quarter-turn + THREE row-shift shears.
 
@@ -190,8 +253,7 @@ def _rotate_shear3(stacked: jax.Array, angles_deg: jax.Array) -> jax.Array:
     if h != w:
         return jax.vmap(_rotate_one)(stacked, angles_deg)
 
-    quarter = jnp.round(angles_deg / 90.0)  # in {-1, 0, 1} for |angle|<=90
-    phi = (angles_deg - quarter * 90.0) * (jnp.pi / 180.0)
+    quarter, sx, sy = _shear3_shifts(angles_deg, n, h, w)
 
     x_t = jnp.swapaxes(stacked, 1, 2)
     rot_ccw = x_t[:, ::-1, :, :]
@@ -199,17 +261,6 @@ def _rotate_shear3(stacked: jax.Array, angles_deg: jax.Array) -> jax.Array:
     q = quarter[:, None, None, None]
     base = jnp.where(q == 1, rot_ccw, jnp.where(q == -1, rot_cw, stacked))
     base = jax.lax.optimization_barrier(base)
-
-    a = -jnp.tan(phi / 2.0)          # |a| <= tan(22.5deg) ~ 0.4142
-    b = jnp.sin(phi)                 # |b| <= sin(45deg)  ~ 0.7071
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    rows = jax.lax.broadcasted_iota(jnp.float32, (n, h), 1)
-    cols = jax.lax.broadcasted_iota(jnp.float32, (n, w), 1)
-    # Pass inverse maps (out -> src): ShearX: src_x = x + a*(y - cy);
-    # ShearY: src_y = y + b*(x - cx).  _row_shift implements
-    # out[j] = in[j - s], so s = -round(a*(y - cy)) etc.
-    sx = -jnp.round(a[:, None] * (rows - cy)).astype(jnp.int32)
-    sy = -jnp.round(b[:, None] * (cols - cx)).astype(jnp.int32)
 
     if stacked.dtype == jnp.uint8 and c == 4 and _use_pallas_roll():
         # Pallas path: pack the 4 uint8 channels into one i32 pixel and run
@@ -542,5 +593,59 @@ class DataAugmentorPrompt:
         clean = _clean_slots(images.shape[0], self.augmentations_per_datapoint + 1)
         out_images = jnp.where(clean[:, None, None, None], images, aug_images)
         out_masks = jnp.where(clean[:, None, None], masks, aug_masks)
+        out_prompts = jnp.where(clean[:, None, None, None], prompts_c, aug_prompts)
+        return out_images, out_masks, out_prompts
+
+    def apply_u8(
+        self,
+        key: jax.Array,
+        images_u8: jax.Array,
+        masks_u8: jax.Array,
+        prompts: jax.Array,
+        dtype=jnp.float32,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Bandwidth-optimized joint geometry: image+mask packed u8x4 and
+        the f32 prompt heatmap bitcast to i32 run through ONE
+        :func:`random_geometric_packed` call (Pallas VMEM shear rolls, one
+        HBM pass per shear) instead of the 5-channel f32 XLA roll/select
+        chain (~7.5 ms of the prompt@256 batch-32 step, the top
+        non-conv residue).  Results are bit-identical to ``__call__`` on
+        the normalized images (nearest resampling is value-preserving and
+        the rolls move whole 32-bit elements; tests/test_augment.py pins
+        it).  Returns ([0,1] images, int32 label masks, f32 prompts)."""
+        n, h, w, _ = images_u8.shape
+        if h != w or not _use_pallas_roll():
+            return self(
+                key, normalize_image(images_u8, dtype),
+                masks_u8.astype(jnp.int32), prompts,
+            )
+        kg, kc, kb = jax.random.split(key, 3)
+        prompts_c = prompts if prompts.ndim == 4 else prompts[..., None]
+        from .pallas_roll import pack_u8x4, unpack_u8x4
+
+        packed4 = pack_u8x4(
+            jnp.concatenate([images_u8, masks_u8[..., None]], axis=-1)
+        )
+        heat = jax.lax.bitcast_convert_type(
+            prompts_c[..., 0].astype(jnp.float32), jnp.int32
+        )
+        out = random_geometric_packed(
+            kg, jnp.concatenate([packed4, heat], axis=0), n, self.max_degrees
+        )
+        four = unpack_u8x4(out[:n])
+        aug_masks = four[..., 3].astype(jnp.int32)
+        aug_prompts = jax.lax.bitcast_convert_type(out[n:], jnp.float32)[..., None]
+        aug_images = normalize_image(four[..., :3], dtype)
+        aug_images = color_jitter(kc, aug_images)
+        aug_images = gaussian_blur_5x5(kb, aug_images)
+
+        clean = _clean_slots(n, self.augmentations_per_datapoint + 1)
+        out_images = jnp.where(
+            clean[:, None, None, None], normalize_image(images_u8, dtype),
+            aug_images,
+        )
+        out_masks = jnp.where(
+            clean[:, None, None], masks_u8.astype(jnp.int32), aug_masks
+        )
         out_prompts = jnp.where(clean[:, None, None, None], prompts_c, aug_prompts)
         return out_images, out_masks, out_prompts

@@ -92,3 +92,45 @@ def test_non_u8_path_unaffected(monkeypatch):
     monkeypatch.setenv("IMGSEG_PALLAS_ROLL", "0")
     ref = A._rotate_shear3(stacked, angles)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_prompt_apply_u8_matches_call(monkeypatch):
+    """The packed joint-geometry path (image+mask as u8x4 + the f32 heatmap
+    bitcast to i32, ONE random_geometric_packed over both groups) must be
+    bit-identical to DataAugmentorPrompt.__call__ on the normalized inputs
+    (the 5-channel f32 XLA roll/select chain it replaces)."""
+    rng = np.random.default_rng(5)
+    n, h, w = 5, 32, 32
+    images = jnp.asarray(rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 2, (n, h, w), dtype=np.uint8))
+    prompts = jnp.asarray(rng.random((n, h, w, 1)).astype(np.float32))
+    aug = A.DataAugmentorPrompt(augmentations_per_datapoint=4)
+    key = jax.random.PRNGKey(11)
+
+    ref_i, ref_m, ref_p = aug(
+        key, A.normalize_image(images), labels.astype(jnp.int32), prompts
+    )
+    monkeypatch.setenv("IMGSEG_PALLAS_ROLL", "1")
+    out_i, out_m, out_p = aug.apply_u8(key, images, labels, prompts)
+    np.testing.assert_array_equal(np.asarray(out_m), np.asarray(ref_m))
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(ref_p))
+    np.testing.assert_array_equal(np.asarray(out_i), np.asarray(ref_i))
+
+
+def test_prompt_apply_u8_fallback_non_square(monkeypatch):
+    """Non-square inputs take the __call__ fallback verbatim."""
+    rng = np.random.default_rng(6)
+    n, h, w = 3, 16, 24
+    images = jnp.asarray(rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 2, (n, h, w), dtype=np.uint8))
+    prompts = jnp.asarray(rng.random((n, h, w, 1)).astype(np.float32))
+    aug = A.DataAugmentorPrompt(augmentations_per_datapoint=2)
+    key = jax.random.PRNGKey(3)
+    monkeypatch.setenv("IMGSEG_PALLAS_ROLL", "1")
+    out_i, out_m, out_p = aug.apply_u8(key, images, labels, prompts)
+    ref_i, ref_m, ref_p = aug(
+        key, A.normalize_image(images), labels.astype(jnp.int32), prompts
+    )
+    np.testing.assert_array_equal(np.asarray(out_m), np.asarray(ref_m))
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(ref_p))
+    np.testing.assert_array_equal(np.asarray(out_i), np.asarray(ref_i))
