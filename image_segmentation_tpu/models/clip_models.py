@@ -325,7 +325,11 @@ class PromptEncoder(nn.Module):
         if use_fold:
             b, hh, ww, c = prompt.shape
             h4 = folded.FoldedConvBlockDownsample(
-                c, 32, f, self.dtype, impl=self.w2d_impl, name="enc1"
+                c, 32, f, self.dtype, impl=self.w2d_impl,
+                # The heatmap is a model INPUT: its cotangent is never
+                # consumed, so the fused backward skips the conv1 dx
+                # kernel (0.9 ms of the prompt@256 batch-32 step).
+                input_grad=False, name="enc1",
             )(
                 prompt.astype(self.dtype).reshape(b, hh, ww // f, f * c),
                 train=train,

@@ -374,6 +374,10 @@ class FoldedConvBlock(nn.Module):
     dtype: Any = jnp.bfloat16
     in_perm: Any = None
     impl: str = "dense"
+    # False: the block input is a non-differentiated model input (raw
+    # heatmap/image) — the fused backward skips the conv1 dx kernel
+    # (param grads unchanged; dense/XLA impls DCE the dx dot on their own).
+    input_grad: bool = True
 
     @nn.compact
     def __call__(
@@ -477,6 +481,7 @@ class FoldedConvBlock(nn.Module):
             block = make_folded_block(
                 cin, feats, f, in_perm=perm_t, eps=BN_EPS, interpret=interp,
                 in_split=in_split, raw_out=raw_out,
+                input_grad=self.input_grad,
             )
             z, mean1, var1, mean2, var2 = block(
                 *((x4,) if x4b is None else (x4, x4b)),
@@ -631,6 +636,7 @@ class FoldedConvBlockDownsample(nn.Module):
     fold: int = FOLD
     dtype: Any = jnp.bfloat16
     impl: str = "dense"
+    input_grad: bool = True  # see FoldedConvBlock.input_grad
 
     @nn.compact
     def __call__(self, x4: jax.Array, *, train: bool = False) -> jax.Array:
@@ -652,7 +658,8 @@ class FoldedConvBlockDownsample(nn.Module):
 
             y2, ab2 = FoldedConvBlock(
                 self.in_features, self.features, self.fold, self.dtype,
-                impl=self.impl, name="conv_block",
+                impl=self.impl, input_grad=self.input_grad,
+                name="conv_block",
             )(x4, train=train, raw_out=True)
             interp = jax.default_backend() not in ("tpu", "axon")
             return make_folded_pool(
@@ -660,7 +667,7 @@ class FoldedConvBlockDownsample(nn.Module):
             )(y2, ab2)
         h = FoldedConvBlock(
             self.in_features, self.features, self.fold, self.dtype,
-            impl=self.impl, name="conv_block",
+            impl=self.impl, input_grad=self.input_grad, name="conv_block",
         )(x4, train=train)
         if self.fold == 1:
             # fold 1 == plain NHWC (the ``fused_deep`` wide-channel levels):

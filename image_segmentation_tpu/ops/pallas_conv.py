@@ -2174,9 +2174,20 @@ def make_folded_block(
     interpret: bool = False,
     in_split: int | None = None,
     raw_out: bool = False,
+    input_grad: bool = True,
 ):
     """The whole training-mode [Conv-BN-ReLU]x2 folded block as ONE
     custom-vjp node.
+
+    ``input_grad=False``: the caller guarantees the block-input cotangent
+    is never consumed (the block reads a non-differentiated model INPUT —
+    e.g. the prompt encoder's first block on the raw heatmap).  The
+    backward then runs conv1 as a wgrad-only kernel (no ge-slab dx dots,
+    no dx HBM write — XLA cannot dead-code-eliminate inside the opaque
+    custom call, so the merged dx+wgrad kernel would compute it anyway)
+    and returns symbolic zeros for dx.  Parameter gradients are unchanged
+    (tests/test_pallas_conv.py pins them against the input_grad=True
+    path).
 
     Forward (identical math to the composed path): conv1 with a batch-stat
     epilogue -> bn1 affine resolved from (S1, Q1) -> conv2 with bn1-apply +
@@ -2391,6 +2402,23 @@ def make_folded_block(
         )
 
         # conv1 dx/wgrad: ge1 = gy1 + dS1 + 2*y1*dQ1 computed on read.
+        if not input_grad:
+            # wgrad-only conv1 backward: the input cotangent is unused by
+            # contract, so skip the dx dots and the dx HBM write entirely.
+            dkp1, dc1b_f = _folded_wgrad_pallas(
+                x4, gy1, ci=ci, prev_runs=prev1, next_runs=next1,
+                h_tile=h_tile, interpret=interpret,
+                g_y=y1, gf_consts=gf1, gfold="stats", x4b=x4b,
+                subfold=g1 if g1 < f else 0,
+            )
+            dk1 = _wgrad_from_halo(
+                dkp1[:, inv_row_map1, :], f, ci, co
+            ).astype(k1.dtype)
+            dc1b = dc1b_f.reshape(f, co).sum(0)
+            tail = (dk1, dc1b, dk2, dc2b, dscale1, dbias1, dscale2, dbias2)
+            if in_split is None:
+                return (jnp.zeros_like(x4),) + tail
+            return (jnp.zeros_like(x4), jnp.zeros_like(x4b)) + tail
         kb1 = jnp.transpose(k1[::-1, ::-1], (0, 1, 3, 2))
         if g1dx < f:
             wb1 = _subfold_matrices(kb1, f, g1dx, dz.dtype)

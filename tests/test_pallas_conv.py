@@ -230,6 +230,40 @@ class TestFoldedConvBlockFused:
                 np.asarray(a), np.asarray(c), rtol=1e-6, atol=1e-6
             )
 
+    def test_input_grad_false_param_grads_unchanged(self):
+        """input_grad=False (wgrad-only conv1 backward, no dx kernel) must
+        leave every PARAMETER gradient identical to the default path, and
+        return exactly zero for the input cotangent — the contract the
+        prompt encoder's first block relies on (its input is the raw
+        heatmap, a non-differentiated model input)."""
+        _, x, variables = self._mk()
+        x4 = w2d(x)
+        g = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 4, 64), jnp.float32)
+
+        def loss(params, xx, input_grad):
+            m = folded.FoldedConvBlock(
+                8, 16, dtype=jnp.float32, impl="pallas_fused",
+                input_grad=input_grad,
+            )
+            out, _ = m.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                xx, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out * g)
+
+        g_ref, dx_ref = jax.grad(
+            lambda p, xx: loss(p, xx, True), argnums=(0, 1)
+        )(variables["params"], x4)
+        g_ng, dx_ng = jax.grad(
+            lambda p, xx: loss(p, xx, False), argnums=(0, 1)
+        )(variables["params"], x4)
+        assert np.asarray(jnp.abs(dx_ref)).max() > 0
+        np.testing.assert_array_equal(np.asarray(dx_ng), 0.0)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_ng)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+            )
+
     def test_train_values_with_concat_perm(self):
         """dec-style block: plain concat layout absorbed via in_perm."""
         key = jax.random.PRNGKey(4)
