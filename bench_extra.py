@@ -185,6 +185,11 @@ def bench_autoencoder():
             # 64-lane enc2/dec2 convs were the biggest XLA residue).
             "w2d_level1_fold2":
                 os.environ.get("IMGSEG_BENCH_AE_W2D_L1F2", "1") == "1",
+            # Fold-2 dec1 (the 64x64 level): round-4 probe
+            # (tools/exp_ae_l2_fold.py) and step A/B; enc3's equivalent
+            # was a wash and is not taken.
+            "w2d_level2_fold2":
+                os.environ.get("IMGSEG_BENCH_AE_W2D_L2F2", "1") == "1",
         },
         data=DataConfig(
             dataset="synthetic", synthetic_length=batch, image_size=size,

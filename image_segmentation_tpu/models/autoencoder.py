@@ -82,14 +82,32 @@ class Decoder(nn.Module):
     dtype: Any = jnp.bfloat16
     w2d_level0: bool = False
     w2d_level1_fold2: bool = False
+    # fold-2 for dec1 too (the 64x64 level).  Probed in isolation
+    # (tools/exp_ae_l2_fold.py, 2026-08-20): dec1 folded 1.87 vs 2.03
+    # ms/iter at default kernel gates; enc3's equivalent was a wash
+    # (1.87 vs 1.90) and is NOT taken.  Output unfolds by a pure reshape
+    # that cancels against dec2's internal refold.
+    w2d_level2_fold2: bool = False
     w2d_impl: str = "dense"
 
     @nn.compact
     def __call__(self, bottleneck: jax.Array, *, train: bool = False) -> jax.Array:
-        d1 = ConvBlockUpsample(64, dtype=self.dtype, name="dec1")(
-            bottleneck, train=train
-        )
         f = folded.FOLD
+        if (
+            self.w2d_level0 and self.w2d_level2_fold2 and f == 4
+            and bottleneck.shape[2] % max(f // 4, 1) == 0
+        ):
+            d1 = folded.d2w(
+                folded.FoldedConvBlockUpsample(
+                    64, 64, f // 2, self.dtype, impl=self.w2d_impl,
+                    name="dec1",
+                )(bottleneck, train=train),
+                64, f // 2,
+            )
+        else:
+            d1 = ConvBlockUpsample(64, dtype=self.dtype, name="dec1")(
+                bottleneck, train=train
+            )
         # fold f//2 transpose from unfolded d1 reshapes by m = f//4
         # (trivially satisfiable at FOLD=4, but keep the true requirement).
         fold2 = (
@@ -129,6 +147,7 @@ class Autoencoder(nn.Module):
     dtype: Any = jnp.bfloat16
     w2d_level0: bool = False
     w2d_level1_fold2: bool = False
+    w2d_level2_fold2: bool = False
     w2d_impl: str = "dense"
 
     @nn.compact
@@ -145,6 +164,7 @@ class Autoencoder(nn.Module):
         out = Decoder(
             self.out_channels, dtype=self.dtype, w2d_level0=use_fold,
             w2d_level1_fold2=self.w2d_level1_fold2,
+            w2d_level2_fold2=self.w2d_level2_fold2,
             w2d_impl=self.w2d_impl, name="decoder",
         )(feats["bottleneck"], train=train)
         return jax.nn.sigmoid(out)

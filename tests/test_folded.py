@@ -314,16 +314,20 @@ class TestFoldedClipResClass:
 
 
 class TestFoldedAutoencoder:
-    @pytest.mark.parametrize("impl,fold2", [
-        ("dense", False), ("pallas_fused", False), ("pallas_fused", True),
+    @pytest.mark.parametrize("impl,fold2,lvl2", [
+        ("dense", False, False), ("pallas_fused", False, False),
+        ("pallas_fused", True, False), ("pallas_fused", True, True),
+        ("dense", True, True),
     ])
-    def test_autoencoder_w2d_matches_standard(self, impl, fold2, monkeypatch):
+    def test_autoencoder_w2d_matches_standard(self, impl, fold2, lvl2,
+                                              monkeypatch):
         from image_segmentation_tpu.models.autoencoder import Autoencoder
 
         monkeypatch.setenv("IMGSEG_PALLAS_MIN_WP", "1")
         std = Autoencoder(dtype=jnp.float32)
         fast = Autoencoder(dtype=jnp.float32, w2d_level0=True,
-                           w2d_level1_fold2=fold2, w2d_impl=impl)
+                           w2d_level1_fold2=fold2, w2d_level2_fold2=lvl2,
+                           w2d_impl=impl)
         x = rand((2, 32, 32, 3))
         variables = std.init(KEY, x, train=False)
         assert jax.tree_util.tree_structure(variables) == (
