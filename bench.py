@@ -24,45 +24,40 @@ import time
 A100_REFERENCE_IMGS_PER_SEC = 100.0  # estimated torch A100 LargeUNet@512 train
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+def make_cfg():
+    """The benched config IS the ``large_unet`` production preset's model
+    (model_args taken from ``preset()``, so bench<->preset drift is
+    impossible — tests/test_bench_preset_parity.py pins it), with the
+    bench-shape overrides (batch 16, 512^2 synthetic data, 1 epoch) and
+    env-var A/B hooks applied on top."""
+    import dataclasses
 
-    from image_segmentation_tpu.config import DataConfig, TrainConfig
-    from image_segmentation_tpu.engine.train import Trainer
+    from image_segmentation_tpu.config import DataConfig, preset
 
     batch = int(os.environ.get("IMGSEG_BENCH_BATCH", "16"))
     size = 512
-    cfg = TrainConfig(
-        model="large_unet",
+    base = preset("large_unet")
+    model_args = dict(base.model_args)
+    # A/B hooks for the folded-conv implementation (dense/halo/pallas)
+    # and level-1 folding; the headline metric uses the preset defaults.
+    if "IMGSEG_BENCH_W2D_IMPL" in os.environ:
+        model_args["w2d_impl"] = os.environ["IMGSEG_BENCH_W2D_IMPL"]
+    if os.environ.get("IMGSEG_BENCH_W2D_L1", "0") == "1":
+        # Refold-to-f level 1 (measured slower than the fold-2 chain).
+        model_args["w2d_level1"] = True
+    if "IMGSEG_BENCH_W2D_L1F2" in os.environ:
+        model_args["w2d_level1_fold2"] = (
+            os.environ["IMGSEG_BENCH_W2D_L1F2"] == "1"
+        )
+    fused_deep = os.environ.get("IMGSEG_BENCH_FUSED_DEEP", "0")
+    if fused_deep != "0":
+        # "1" = all levels, "enc3,dec2" = those levels (models/unet.py).
+        model_args["fused_deep"] = True if fused_deep == "1" else fused_deep
+    return dataclasses.replace(
+        base,
         batch_size=batch,
         num_epochs=1,
-        # width-to-depth folding of the full-resolution level: numerically
-        # equivalent to the standard model (shared checkpoints, see
-        # tests/test_folded.py), faster on the small-channel convs.
-        model_args={
-            "w2d_level0": True,
-            # A/B hooks for the folded-conv implementation (dense/halo/pallas)
-            # and level-1 folding; the headline metric uses the committed
-            # defaults.
-            "w2d_impl": os.environ.get("IMGSEG_BENCH_W2D_IMPL", "pallas_fused"),
-            "w2d_level1": os.environ.get("IMGSEG_BENCH_W2D_L1", "0") == "1",
-            # Level 1 folded at f/2 (relayout-free chain; +4 img/s measured:
-            # 119.3 -> 123.3).  The refold-to-f variant (W2D_L1) stays off.
-            "w2d_level1_fold2":
-                os.environ.get("IMGSEG_BENCH_W2D_L1F2", "1") == "1",
-            # Deep (wide-channel) levels through the fused f=1 ConvBN
-            # Pallas blocks (models/unet.py fused_deep): A/B hook.
-            # "1" = all levels, "enc3,dec2" = those levels, "0" = off.
-            "fused_deep": (
-                True
-                if os.environ.get("IMGSEG_BENCH_FUSED_DEEP", "0") == "1"
-                else os.environ.get("IMGSEG_BENCH_FUSED_DEEP")
-                if os.environ.get("IMGSEG_BENCH_FUSED_DEEP", "0") != "0"
-                else False
-            ),
-        },
+        model_args=model_args,
         data=DataConfig(
             dataset="synthetic",
             synthetic_length=batch,
@@ -70,6 +65,17 @@ def main() -> None:
             augmentations_per_datapoint=4,
         ),
     )
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from image_segmentation_tpu.engine.train import Trainer
+
+    cfg = make_cfg()
+    batch, size = cfg.batch_size, cfg.data.image_size
     trainer = Trainer(cfg, make_artifacts=False)
 
     rng = np.random.default_rng(0)

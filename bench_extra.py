@@ -30,6 +30,20 @@ import sys
 import time
 
 
+def _preset_model_args(name, **env_overrides):
+    """model_args from the production preset (bench==preset by
+    construction; tests/test_bench_preset_parity.py pins it), with env-var
+    A/B hooks applied on top: each kwarg maps a model_args key to the env
+    var that overrides it ("1"/"0" -> True/False)."""
+    from image_segmentation_tpu.config import preset
+
+    args = dict(preset(name).model_args)
+    for key, env in env_overrides.items():
+        if env in os.environ:
+            args[key] = os.environ[env] == "1"
+    return args
+
+
 def bench_clip_unet():
     import numpy as np
 
@@ -40,13 +54,11 @@ def bench_clip_unet():
         model="clip_unet",
         batch_size=batch,
         num_epochs=1,
-        model_args={
-            "w2d_level0": True, "w2d_impl": "pallas_fused",
-            # Fold-2 level 1: default ON since the round-3 silicon A/B
-            # (513.8 -> 534.9 img/s); IMGSEG_BENCH_CLIP_W2D_L1F2=0 opts out.
-            "w2d_level1_fold2":
-                os.environ.get("IMGSEG_BENCH_CLIP_W2D_L1F2", "1") == "1",
-        },
+        # Fold-2 level 1: default ON since the round-3 silicon A/B
+        # (513.8 -> 534.9 img/s); IMGSEG_BENCH_CLIP_W2D_L1F2=0 opts out.
+        model_args=_preset_model_args(
+            "clip_unet", w2d_level1_fold2="IMGSEG_BENCH_CLIP_W2D_L1F2",
+        ),
         data=DataConfig(
             dataset="synthetic", synthetic_length=batch, image_size=size,
             augmentations_per_datapoint=4,
@@ -139,13 +151,11 @@ def bench_prompt():
         # Folded variants (incl. the 1-channel folded prompt-encoder
         # kernel): default ON since the round-3 silicon A/B (257.9 ->
         # 394.9 img/s); IMGSEG_BENCH_PROMPT_W2D=0 opts out of w2d_level0.
-        model_args={
-            "w2d_level0":
-                os.environ.get("IMGSEG_BENCH_PROMPT_W2D", "1") == "1",
-            "w2d_impl": "pallas_fused",
-            "w2d_level1_fold2":
-                os.environ.get("IMGSEG_BENCH_CLIP_W2D_L1F2", "1") == "1",
-        },
+        model_args=_preset_model_args(
+            "prompt",
+            w2d_level0="IMGSEG_BENCH_PROMPT_W2D",
+            w2d_level1_fold2="IMGSEG_BENCH_CLIP_W2D_L1F2",
+        ),
         data=DataConfig(
             dataset="synthetic", synthetic_length=batch, image_size=size,
             augmentations_per_datapoint=4,
@@ -171,26 +181,18 @@ def bench_autoencoder():
     batch, size = 32, 256
     cfg = TrainConfig(
         model="autoencoder", loss="mse", batch_size=batch, num_epochs=1,
-        # Folded autoencoder: default ON since the round-3 silicon A/B
-        # (486.0 -> 776.7 img/s, 12.2 -> 31.1% MFU); IMGSEG_BENCH_AE_W2D=0
-        # opts out.  NOTE this config is where the dispatch-chained timing
-        # was caught lying (38k "img/s"); _bench_train_step now chains
-        # inside one jit.
-        model_args={
-            "w2d_level0":
-                os.environ.get("IMGSEG_BENCH_AE_W2D", "1") == "1",
-            "w2d_impl": "pallas_fused",
-            # Fold-2 level 1: default ON since the round-3 silicon A/B
-            # (911.0 -> 1133.3 img/s, 30.6 -> 40.8% MFU — the unfolded
-            # 64-lane enc2/dec2 convs were the biggest XLA residue).
-            "w2d_level1_fold2":
-                os.environ.get("IMGSEG_BENCH_AE_W2D_L1F2", "1") == "1",
-            # Fold-2 dec1 (the 64x64 level): round-4 probe
-            # (tools/exp_ae_l2_fold.py) and step A/B; enc3's equivalent
-            # was a wash and is not taken.
-            "w2d_level2_fold2":
-                os.environ.get("IMGSEG_BENCH_AE_W2D_L2F2", "1") == "1",
-        },
+        # Folded autoencoder (w2d level 0 + fold-2 level 1 + fold-2 dec1,
+        # all from the production preset): default ON since the round-3/4
+        # silicon A/Bs (486.0 -> 776.7 -> 1133.3 img/s); the env hooks opt
+        # out per path.  NOTE this config is where the dispatch-chained
+        # timing was caught lying (38k "img/s"); _bench_train_step now
+        # chains inside one jit.
+        model_args=_preset_model_args(
+            "autoencoder",
+            w2d_level0="IMGSEG_BENCH_AE_W2D",
+            w2d_level1_fold2="IMGSEG_BENCH_AE_W2D_L1F2",
+            w2d_level2_fold2="IMGSEG_BENCH_AE_W2D_L2F2",
+        ),
         data=DataConfig(
             dataset="synthetic", synthetic_length=batch, image_size=size,
             augmentations_per_datapoint=0,
@@ -219,10 +221,8 @@ def bench_infer(size=512, steps=20, model_args=None):
     from image_segmentation_tpu.ops.augment import normalize_image
     cfg = TrainConfig(
         model="large_unet", batch_size=16, num_epochs=1,
-        model_args=model_args if model_args is not None else {
-            "w2d_level0": True, "w2d_impl": "pallas_fused",
-            "w2d_level1_fold2": True,
-        },
+        model_args=(model_args if model_args is not None
+                    else _preset_model_args("large_unet")),
         data=DataConfig(dataset="synthetic", synthetic_length=16,
                         image_size=size, augmentations_per_datapoint=0),
     )
@@ -278,7 +278,7 @@ def bench_sweep():
         model="large_unet",
         batch_size=batch,
         num_epochs=1,
-        model_args={"w2d_level0": True, "w2d_impl": "pallas_fused"},
+        model_args=_preset_model_args("large_unet"),
         data=DataConfig(
             dataset="synthetic", synthetic_length=batch, image_size=size,
             augmentations_per_datapoint=0,

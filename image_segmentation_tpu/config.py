@@ -121,7 +121,11 @@ def preset(name: str) -> TrainConfig:
         ),
         "autoencoder": TrainConfig(
             model="autoencoder", loss="mse", batch_size=16, num_epochs=200,
-            model_args=dict(_w2d),
+            # fold-2 dec1 (the 64x64 level) is AE-specific: silicon-A/B'd in
+            # round 4 (tools/exp_ae_l2_fold.py), equivalence-tested in
+            # tests/test_folded.py.  bench_extra.py derives its model_args
+            # from this preset so bench==production by construction.
+            model_args=dict(_w2d, w2d_level2_fold2=True),
             data=DataConfig(augmentations_per_datapoint=0),
         ),
         "segment_classifier": TrainConfig(

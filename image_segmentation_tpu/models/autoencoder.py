@@ -93,6 +93,11 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, bottleneck: jax.Array, *, train: bool = False) -> jax.Array:
         f = folded.FOLD
+        # The modulus term is INTENTIONALLY vacuous at FOLD=4 (f//4 == 1,
+        # like dec2's below): FoldedConvBlockUpsample at fold f//2 reshapes
+        # its unfolded input by m = f//4 slots per output column, which any
+        # width satisfies at m=1.  Kept so a future FOLD != 4 states the
+        # true requirement instead of silently miscompiling.
         if (
             self.w2d_level0 and self.w2d_level2_fold2 and f == 4
             and bottleneck.shape[2] % max(f // 4, 1) == 0

@@ -328,7 +328,11 @@ class PromptEncoder(nn.Module):
                 c, 32, f, self.dtype, impl=self.w2d_impl,
                 # The heatmap is a model INPUT: its cotangent is never
                 # consumed, so the fused backward skips the conv1 dx
-                # kernel (0.9 ms of the prompt@256 batch-32 step).
+                # kernel (0.9 ms of the prompt@256 batch-32 step).  If a
+                # future caller differentiates w.r.t. the prompt (saliency
+                # / prompt optimization), this MUST become input_grad=True
+                # — the fused path otherwise yields silently-zero prompt
+                # gradients (models/folded.py FoldedConvBlock.input_grad).
                 input_grad=False, name="enc1",
             )(
                 prompt.astype(self.dtype).reshape(b, hh, ww // f, f * c),

@@ -377,6 +377,12 @@ class FoldedConvBlock(nn.Module):
     # False: the block input is a non-differentiated model input (raw
     # heatmap/image) — the fused backward skips the conv1 dx kernel
     # (param grads unchanged; dense/XLA impls DCE the dx dot on their own).
+    # CONTRACT HAZARD: under impl="pallas_fused" the input cotangent is
+    # then SILENTLY ZERO (XLA cannot DCE inside the opaque custom call, so
+    # the kernel returns symbolic zeros instead), while the dense/XLA
+    # impls still return true input gradients.  Only set False when no
+    # caller ever differentiates w.r.t. the block input; anything like
+    # input saliency or prompt optimization requires input_grad=True.
     input_grad: bool = True
 
     @nn.compact

@@ -14,10 +14,12 @@ Resolution order for the cache directory:
    disable,
 3. the default ``~/.cache/image_segmentation_tpu/xla``.
 
-Entry points (bench.py, bench_extra.py, scripts/*) call
-:func:`enable_compilation_cache` before building any jitted program; the
-Trainer and Evaluator call it too (idempotent) so library users get the
-cache without touching the CLIs.
+The Trainer and Evaluator call :func:`enable_compilation_cache` at
+construction (engine/train.py, engine/evaluate.py), before any jitted
+program is built — every entry point (bench.py, bench_extra.py,
+scripts/*) gets the cache through them; nothing calls this module
+directly.  The call is idempotent, so library users embedding Trainer/
+Evaluator get it for free too.
 """
 
 from __future__ import annotations
