@@ -323,7 +323,13 @@ def random_geometric(
 # Colour ops (image only)
 # ---------------------------------------------------------------------------
 
-_GRAY_WEIGHTS = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+# HOST constant (np, not jnp) on purpose: a module-level jnp.array is a
+# device-resident array, and embedding it as an MLIR constant forces a
+# device->host fetch INSIDE jit lowering — on the remote-tunneled axon
+# backend that sync sat behind the session-warmup queue and blocked
+# bench lowering for 170-560 s (round-5 probe, tools/exp_lowering.py).
+# A numpy constant embeds directly with no device round trip.
+_GRAY_WEIGHTS = np.array([0.299, 0.587, 0.114], np.float32)
 
 
 def _rgb_to_hsv(rgb: jax.Array):
