@@ -89,6 +89,26 @@ def _subfold_enabled() -> bool:
     return os.environ.get("IMGSEG_PALLAS_SUBFOLD", "1") == "1"
 
 
+def _slimshift_enabled() -> bool:
+    """SLIM column-halo shifts in :func:`_build_aug`: the wp-shifted slabs
+    are consumed for only ``ci`` of their ``lanes`` lanes, so shifting the
+    full-lane tensor does ``fold`` x the needed VPU copy work — slice the
+    consumed lanes FIRST, shift only those.  Exact math (the sublane shift
+    and the lane slice commute).  Mosaic rejects the slice-then-shift
+    order for most geometries (round 2: tools/archive/exp_mosaic_bisect3
+    .py; round 5 silicon bisect tools/exp_slim_bisect.py: only >=256-lane
+    single-input slabs with >=64-wide 64-aligned slices compile), so the
+    slim order applies per-slice under those gates only.  Probe win:
+    9.40 -> 8.68 ms on the standalone enc1-conv2 backward shape
+    (tools/exp_bwd_decomp.py ``slimshift``, 2026-08-21) — but the FULL
+    STEP is a wash (slim0 {154.48, 154.72, 154.58, 154.54} vs slim1
+    {154.03, 154.66, 154.44, 154.41} img/s, paired in-process runs,
+    2026-08-21), the same composed-step overlap that voided the wgrad_tg
+    per-kernel win.  Default OFF; ``IMGSEG_PALLAS_SLIMSHIFT=1`` opts in
+    (exact math; equivalence suites pass either way)."""
+    return os.environ.get("IMGSEG_PALLAS_SLIMSHIFT", "0") == "1"
+
+
 def _pick_subfold(fold: int, co: int, canonical: bool) -> int:
     """Sub-block width ``g`` for the banded dot decomposition.
 
@@ -321,40 +341,80 @@ def _build_aug(
     xv = jnp.concatenate([top, mid, bot], axis=0)  # (ht+2, wp, lanes)
 
     # Column halo in VMEM: canonical slot f-1 of the previous block /
-    # slot 0 of the next block, zero at the image's w edges.  NOTE the
-    # order: shift the FULL-lane tensor on wp first, slice lanes after —
-    # Mosaic on this toolchain crashes on a sublane shift of a lane slice
-    # taken at a non-tile-aligned offset (tools/exp_mosaic_bisect3.py).
-    zrow = jnp.zeros((ht + 2, 1, lanes), xv.dtype)
-    xv_r = jnp.concatenate([zrow, xv[:, :-1]], axis=1)  # wp shifted +1
-    xv_l = jnp.concatenate([xv[:, 1:], zrow], axis=1)   # wp shifted -1
+    # slot 0 of the next block, zero at the image's w edges.  Two shift
+    # orders, exact-equal (the sublane shift and the lane slice commute):
+    #   slim (default): slice the consumed lanes FIRST, shift only those —
+    #     the full-lane shift does fold x the needed VPU copy work
+    #     (tools/exp_bwd_decomp.py `slimshift`: 9.40 -> 8.68 ms on the
+    #     enc1-conv2 backward shape).  Mosaic accepts the slice-then-shift
+    #     order only for a subset of geometries, bisected empirically on
+    #     silicon (tools/exp_slim_bisect.py, 2026-08-21): single-input
+    #     slabs of >=256 total lanes with >=64-wide 64-aligned slices
+    #     compile (f4/ci64, f2/ci128 fwd+bwd); 128-lane slabs (f2/ci64),
+    #     sub-64 slices (ci32: "tpu.concatenate" vpad {1,96}), and the
+    #     dual-input VMEM-concat slabs all die in the Mosaic backend —
+    #     those fall back per-slice to:
+    #   full (and IMGSEG_PALLAS_SLIMSHIFT=0): shift the FULL-lane tensor
+    #     on wp first, slice lanes after (the round-2 rule,
+    #     tools/archive/exp_mosaic_bisect3.py).
+    slim = _slimshift_enabled() and b_refs is None and lanes >= 256
+
+    def slim_ok(a, n):
+        return slim and n >= 64 and a % 64 == 0
+
+    def shift_p(t):  # previous-column halo: wp shifted +1, zero at edge
+        z = jnp.zeros((t.shape[0], 1, t.shape[2]), t.dtype)
+        return jnp.concatenate([z, t[:, :-1]], axis=1)
+
+    def shift_n(t):  # next-column halo: wp shifted -1, zero at edge
+        z = jnp.zeros((t.shape[0], 1, t.shape[2]), t.dtype)
+        return jnp.concatenate([t[:, 1:], z], axis=1)
+
+    _full = {}
+
+    def halo_p(a, n):  # xv shifted +1 on wp, lanes [a, a+n)
+        if slim_ok(a, n):
+            return shift_p(xv[:, :, a : a + n])
+        if "r" not in _full:
+            _full["r"] = shift_p(xv)
+        return _full["r"][:, :, a : a + n]
+
+    def halo_n(a, n):  # xv shifted -1 on wp, lanes [a, a+n)
+        if slim_ok(a, n):
+            return shift_n(xv[:, :, a : a + n])
+        if "l" not in _full:
+            _full["l"] = shift_n(xv)
+        return _full["l"][:, :, a : a + n]
+
     if subfold:
         # Banded sub-slabs (canonical layout only): sub-block j covers
         # canonical input slots jg-1 .. jg+g — slot -1 is the previous
-        # block's last slot (from xv_r), slot f the next block's first
-        # (from xv_l); interior slots are one contiguous lane slice.
+        # block's last slot (shifted +1), slot f the next block's first
+        # (shifted -1); interior slots are one contiguous lane slice.
         g, ci, f = subfold
         nj = f // g
+        prev_h = halo_p((f - 1) * ci, ci)
+        next_h = halo_n(0, ci)
         subs = []
         for j in range(nj):
             parts = []
             if j == 0:
-                parts.append(xv_r[:, :, (f - 1) * ci :])
+                parts.append(prev_h)
             lo = max(j * g - 1, 0) * ci
             hi = min(j * g + g + 1, f) * ci
             parts.append(xv[:, :, lo:hi])
             if j == nj - 1:
-                parts.append(xv_l[:, :, :ci])
+                parts.append(next_h)
             subs.append(
                 parts[0] if len(parts) == 1
                 else jnp.concatenate(parts, axis=-1)
             )
         return (subs, mid_out) if want_mid else subs
     prev = jnp.concatenate(
-        [xv_r[:, :, a : a + n] for (a, n) in prev_runs], axis=-1
+        [halo_p(a, n) for (a, n) in prev_runs], axis=-1
     )
     nxt_c = jnp.concatenate(
-        [xv_l[:, :, a : a + n] for (a, n) in next_runs], axis=-1
+        [halo_n(a, n) for (a, n) in next_runs], axis=-1
     )
     aug = jnp.concatenate([prev, xv, nxt_c], axis=-1)
     return (aug, mid_out) if want_mid else aug

@@ -230,6 +230,49 @@ class TestFoldedConvBlockFused:
                 np.asarray(a), np.asarray(c), rtol=1e-6, atol=1e-6
             )
 
+    def test_slimshift_matches_full_shift(self, monkeypatch):
+        """IMGSEG_PALLAS_SLIMSHIFT=1 (slice the consumed halo lanes before
+        the wp shift) must produce identical forward values and gradients
+        to the default full-lane shift — the orders commute exactly.  The
+        slim gate needs a >=256-lane single-input slab (ci >= 64), so this
+        runs a 64-channel fold-4 block, unlike the tiny ci=8 block above
+        (where the gate never fires and both flags take the same path)."""
+        from image_segmentation_tpu.ops.pallas_conv import make_folded_block
+
+        key = jax.random.PRNGKey(17)
+        x4 = jax.random.normal(key, (1, 8, 8, 256), jnp.float32)
+        g = jax.random.normal(jax.random.PRNGKey(18), (1, 8, 8, 256),
+                              jnp.float32)
+        m = folded.FoldedConvBlock(64, 64, dtype=jnp.float32,
+                                   impl="pallas_fused")
+        variables = m.init(KEY, x4, train=False)
+
+        def run(flag):
+            monkeypatch.setenv("IMGSEG_PALLAS_SLIMSHIFT", flag)
+            make_folded_block.cache_clear()
+
+            def loss(params, xx):
+                out, _ = m.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    xx, train=True, mutable=["batch_stats"],
+                )
+                return jnp.sum(out * g), out
+
+            (val, out), grads = jax.value_and_grad(
+                loss, argnums=(0, 1), has_aux=True
+            )(variables["params"], x4)
+            return out, grads
+
+        out0, g0 = run("0")
+        out1, g1 = run("1")
+        make_folded_block.cache_clear()
+        np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+            )
+
     def test_input_grad_false_param_grads_unchanged(self):
         """input_grad=False (wgrad-only conv1 backward, no dx kernel) must
         leave every PARAMETER gradient identical to the default path, and

@@ -31,6 +31,18 @@ TIMING ONLY, the variant math is wrong — to attribute the gap:
                 ci of their lg lanes, so shifting full-lane slabs does
                 f x the needed VPU copy work
 
+  slimshift128  CANDIDATE (math-correct): tile-ALIGNED slim shift — slice
+                a 128-lane block, shift it, take the ci halo lanes of the
+                shifted value (slimshift's unaligned slice crashes Mosaic
+                per _build_aug's note; 128 offsets are aligned).  Halves
+                the shift copy work at lanes=256.
+  xwfirst       OVERLAP variant (math-correct): both slabs built up front,
+                dx and wgrad dots interleaved per sub-block with no VPU
+                work between them, post adjoint last — can Mosaic overlap
+                the slab-build VPU work with the MXU dots?
+  reorder_wfirst OVERLAP variant (math-correct): as xwfirst but all wgrad
+                dots before all dx dots.
+
 Variants may be combined with '+': --variants wgrad_tg+slimshift.
 
 Usage: python tools/exp_bwd_decomp.py [--iters 30] [--variants a,b,...]
@@ -103,6 +115,19 @@ def main():
                 [zrow, xv[:, :-1, (f - 1) * ci_l :]], axis=1
             )
             xv_l = jnp.concatenate([xv[:, 1:, :ci_l], zrow], axis=1)
+        elif "slimshift128" in skip:
+            # Tile-ALIGNED slim shifts: slice a 128-lane block first (the
+            # alignment Mosaic's sublane shift tolerates — _build_aug's
+            # note says unaligned lane slices crash), shift only that, then
+            # take the needed ci lanes of the shifted value.  Halves the
+            # shift copy work at lanes=256.
+            zrow = jnp.zeros((ht + 2, 1, 128), xv.dtype)
+            hi = jnp.concatenate(
+                [zrow, xv[:, :-1, lanes - 128 :]], axis=1
+            )
+            xv_r = hi[:, :, 128 - ci_l :]
+            lo = jnp.concatenate([xv[:, 1:, :128], zrow], axis=1)
+            xv_l = lo[:, :, :ci_l]
         else:
             zrow = jnp.zeros((ht + 2, 1, lanes), xv.dtype)
             xv_r = jnp.concatenate([zrow, xv[:, :-1]], axis=1)[
@@ -166,6 +191,72 @@ def main():
             return (gfl + c1 + 2.0 * yf * c2).astype(t.dtype)
 
         ge_aug, ge_t = build_slabs(ge_refs, lg, skip, transform=gfold)
+
+        if {"xwfirst", "reorder_wfirst"} & skip:
+            # OVERLAP-AXIS variants (math-correct): both slabs are built up
+            # front, then the MXU dots are issued with no VPU work between
+            # them ("xwfirst": dx and wgrad interleaved per sub-block;
+            # "reorder_wfirst": all wgrad then all dx), and the post
+            # adjoint+reductions run last.  Tests whether Mosaic's
+            # scheduler overlaps the serialized slab-build/transform VPU
+            # work with the dots when the program order allows it.
+            a_w = ab_pre_ref[0:1].reshape(1, 1, lx).astype(jnp.float32)
+            b_w = ab_pre_ref[1:2].reshape(1, 1, lx).astype(jnp.float32)
+
+            def act(t):
+                tf = t.astype(jnp.float32)
+                return jnp.maximum(tf * a_w + b_w, 0.0).astype(t.dtype)
+
+            xw_aug, _ = build_slabs(xw_refs, lx, skip, transform=act)
+            g2 = ge_t.reshape(ht * wp, lg)
+            sub_g = lg // nj
+
+            @pl.when(first)
+            def _():
+                dkp_ref[...] = jnp.zeros_like(dkp_ref)
+                dbw_ref[...] = jnp.zeros_like(dbw_ref)
+                da_ref[...] = jnp.zeros_like(da_ref)
+                dbp_ref[...] = jnp.zeros_like(dbp_ref)
+
+            def dx_dots(j):
+                accj = jnp.zeros((ht * wp, g * c), jnp.float32)
+                for dy in range(3):
+                    a = ge_aug[j][dy : dy + ht].reshape(ht * wp, skdim)
+                    accj = accj + jnp.dot(
+                        a, w_ref[dy, j], preferred_element_type=jnp.float32
+                    )
+                return accj
+
+            def w_dots(j):
+                gj = g2[:, j * sub_g : (j + 1) * sub_g]
+                for dy in range(3):
+                    a = xw_aug[j][dy : dy + ht].reshape(ht * wp, skdim)
+                    dkp_ref[dy, j] = dkp_ref[dy, j] + jax.lax.dot_general(
+                        a, gj, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+            pieces = []
+            if "xwfirst" in skip:
+                for j in range(nj):
+                    pieces.append(dx_dots(j))
+                    w_dots(j)
+            else:
+                for j in range(nj):
+                    w_dots(j)
+                for j in range(nj):
+                    pieces.append(dx_dots(j))
+            acc = jnp.concatenate(pieces, axis=-1)
+
+            x = xw_refs[1][0].reshape(ht * wp, n_dx).astype(jnp.float32)
+            a_q = ab_post_ref[0:1].reshape(1, n_dx).astype(jnp.float32)
+            b_q = ab_post_ref[1:2].reshape(1, n_dx).astype(jnp.float32)
+            gu = jnp.where((x * a_q + b_q) > 0.0, acc, 0.0)
+            out_ref[0] = (gu * a_q).reshape(ht, wp, n_dx).astype(jnp.bfloat16)
+            da_ref[...] = da_ref[...] + jnp.sum(gu * x, axis=0, keepdims=True)
+            dbp_ref[...] = dbp_ref[...] + jnp.sum(gu, axis=0, keepdims=True)
+            dbw_ref[0] = dbw_ref[0] + jnp.sum(g2.astype(jnp.float32), axis=0)
+            return
 
         if "nodx" in skip:
             acc = ge_t.reshape(ht * wp, n_dx).astype(jnp.float32)
@@ -341,7 +432,9 @@ def main():
         if args.variants
         else ["full", "gfold_noop", "bf16fold", "nogfold", "nopre", "nopost",
               "nodx", "nowgrad", "noshifts", "wgrad_tg", "tgplus",
-              "wgrad_nodots", "slimshift", "wgrad_tg+slimshift"]
+              "wgrad_nodots", "slimshift", "wgrad_tg+slimshift",
+              "slimshift128", "xwfirst", "reorder_wfirst",
+              "xwfirst+slimshift128"]
     )
     for name in names:
         skip = frozenset() if name == "full" else frozenset(name.split("+"))
