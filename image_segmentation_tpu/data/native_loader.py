@@ -119,6 +119,29 @@ class NativeBatchPipeline:
         self._shape = (h, w, c)
         per_proc = batch_size // process_count
         self._per_proc = per_proc
+        if sharding is not None and process_count > 1:
+            # The C++ shard hands each process batch/process_count rows;
+            # that is only a valid process-local chunk when this process's
+            # devices address exactly that many global batch rows.  A
+            # sub-row layout (process devices covering part of one data
+            # row, e.g. 8 processes x 1 device over a (data=4, model=2)
+            # mesh) needs neighbour processes to DUPLICATE a shared row —
+            # use the Python BatchPipeline there (it derives the slice
+            # from the sharding's index map).
+            amap = sharding.addressable_devices_indices_map(
+                (batch_size, h, w, c)
+            )
+            rows = {
+                (s[0].start or 0, batch_size if s[0].stop is None else s[0].stop)
+                for s in amap.values()
+            }
+            addressed = sum(hi - lo for lo, hi in rows)
+            if addressed != per_proc:
+                raise ValueError(
+                    f"native loader: process addresses {addressed} batch "
+                    f"rows but batch/process_count = {per_proc}; sub-row "
+                    "process layouts need native_loader=False"
+                )
         self._handle = self._lib.loader_new(
             self._images.ctypes.data_as(ctypes.c_void_p),
             self._masks.ctypes.data_as(ctypes.c_void_p),

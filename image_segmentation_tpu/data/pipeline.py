@@ -134,10 +134,31 @@ class BatchPipeline:
                     except ValueError:
                         shardable = False
                 if shardable:
-                    # Contiguous per-process chunk -> global sharded array.
-                    per = n_i // self.process_count
-                    lo = self.process_index * per
-                    lidx = idx[lo : lo + per]
+                    # This process's ADDRESSABLE batch rows -> global
+                    # sharded array.  Derived from the sharding's index
+                    # map, NOT batch/process_count: in a layout where a
+                    # process holds only part of one data row's devices
+                    # (e.g. 8 processes x 1 device over a (data=4,
+                    # model=2) mesh), the process addresses a whole row
+                    # (2 elements) while the naive per-process split
+                    # yields 1 — neighbours sharing a row each supply it.
+                    amap = self.sharding.addressable_devices_indices_map(
+                        (n_i,) + item_shapes[0]
+                    )
+                    spans = sorted(
+                        {
+                            (
+                                s[0].start or 0,
+                                n_i if s[0].stop is None else s[0].stop,
+                            )
+                            for s in amap.values()
+                        }
+                    )
+                    assert all(
+                        spans[k][1] == spans[k + 1][0]
+                        for k in range(len(spans) - 1)
+                    ), f"non-contiguous addressable batch rows: {spans}"
+                    lidx = idx[spans[0][0] : spans[-1][1]]
                     return tuple(
                         jax.make_array_from_process_local_data(
                             self.sharding, src[lidx], (n_i,) + shp

@@ -81,13 +81,17 @@ if LOADER == "native":
 trainer = Trainer(cfg, mesh=mesh, make_artifacts=False)
 
 # ---- Evaluator leg (on the deterministic INIT state, before the train
-# step donates it): clean metrics + one integer-battery cell.  length=10
-# over batch 4 gives batches 4,4,2 — the final 2-item batch cannot shard
-# over data=4, so the replicated remainder branch of data/pipeline.py
-# executes with non-addressable devices.  All metric cross-device
-# reductions are exact f32 sums of pixel counts, so the values must be
-# BIT-FOR-BIT identical across process layouts (asserted by the parent
-# against a 1-process run).
+# step donates it): clean metrics + one integer-battery cell.  Batch 8
+# over length=10 — divisible by every process count in the grid (1, 2,
+# 4, 8; the host pipeline requires batch % processes == 0) and leaves a
+# REMAINDER last batch (8, 2) that cannot shard over the data axis, so
+# the replicated-remainder branch of data/pipeline.py executes with
+# non-addressable devices.  The batch MUST be layout-invariant: the
+# metrics are per-BATCH means averaged over batches (reference
+# semantics), so a different batching changes the values; at a FIXED
+# batching the cross-device reductions are exact f32 count sums and the
+# values are BIT-FOR-BIT identical across process layouts (asserted by
+# the parent against a 1-process run).
 from image_segmentation_tpu.data.datasets import synthetic_dataset  # noqa: E402
 from image_segmentation_tpu.engine.evaluate import Evaluator  # noqa: E402
 
@@ -95,7 +99,7 @@ eval_ds = synthetic_dataset(
     length=10, height=32, width=32, num_classes=3, seed=123
 )
 evaluator = Evaluator(
-    trainer.model, trainer.state, eval_ds, batch_size=4, mesh=mesh, seed=7
+    trainer.model, trainer.state, eval_ds, batch_size=8, mesh=mesh, seed=7
 )
 clean_metrics = evaluator.test()
 # One cell of the integer battery (the published-artifact path).
