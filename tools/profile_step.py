@@ -31,32 +31,47 @@ def main():
                          "hybrid_binary is implied by --model "
                          "clip_unet_prompt)")
     ap.add_argument("--augs", type=int, default=4)
+    ap.add_argument("--preset", default=None,
+                    help="derive model/loss/model_args from this production "
+                         "preset (config.preset) so the profiled step IS the "
+                         "preset-configured one; --batch/--size/--augs still "
+                         "apply")
     args = ap.parse_args()
+
+    import dataclasses
 
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from image_segmentation_tpu.config import DataConfig, TrainConfig
+    from image_segmentation_tpu.config import DataConfig, TrainConfig, preset
     from image_segmentation_tpu.engine.train import Trainer
 
-    loss = args.loss or {
-        "autoencoder": "mse", "clip_unet_prompt": "hybrid_binary",
-    }.get(args.model, "hybrid")
-    cfg = TrainConfig(
-        model=args.model,
-        loss=loss,
-        batch_size=args.batch,
-        num_epochs=1,
-        model_args=(
-            {} if args.no_w2d
-            else {"w2d_level0": True, "w2d_impl": args.w2d_impl,
-                  **({"w2d_level1_fold2": True} if args.l1f2 else {})}
-        ),
-        data=DataConfig(
-            dataset="synthetic", synthetic_length=args.batch,
-            image_size=args.size, augmentations_per_datapoint=args.augs,
-        ),
+    data_cfg = DataConfig(
+        dataset="synthetic", synthetic_length=args.batch,
+        image_size=args.size, augmentations_per_datapoint=args.augs,
     )
+    if args.preset:
+        cfg = dataclasses.replace(
+            preset(args.preset), batch_size=args.batch, num_epochs=1,
+            data=data_cfg,
+        )
+        args.model = cfg.model
+    else:
+        loss = args.loss or {
+            "autoencoder": "mse", "clip_unet_prompt": "hybrid_binary",
+        }.get(args.model, "hybrid")
+        cfg = TrainConfig(
+            model=args.model,
+            loss=loss,
+            batch_size=args.batch,
+            num_epochs=1,
+            model_args=(
+                {} if args.no_w2d
+                else {"w2d_level0": True, "w2d_impl": args.w2d_impl,
+                      **({"w2d_level1_fold2": True} if args.l1f2 else {})}
+            ),
+            data=data_cfg,
+        )
     trainer = Trainer(cfg, make_artifacts=False)
     if args.geometry != "gather":
         from image_segmentation_tpu.ops import augment as aug_ops
