@@ -95,12 +95,12 @@ class Evaluator:
             L.dice_score(logits, masks),
         )
 
-    def _eval_fn(self, kind: str, name: Optional[str] = None, static_param=None):
-        """Build/cache a jitted (state-closed) eval function."""
-        cache_key = (kind, name, static_param)
-        if cache_key in self._metric_cache:
-            return self._metric_cache[cache_key]
-
+    def _eval_fn_raw(self, kind: str, name: Optional[str] = None,
+                     static_param=None):
+        """The unjitted per-batch eval fn: (images_u8, masks_i32, key,
+        param) -> (iou, pa, dice) scalars.  Shared by the per-point path
+        (jitted directly) and the batched family path (traced inside its
+        scan/map)."""
         if kind == "clean":
 
             def fn(images_u8, masks, key, param):
@@ -128,9 +128,16 @@ class Evaluator:
         else:
             raise ValueError(kind)
 
-        jitted = jax.jit(fn)
-        self._metric_cache[cache_key] = jitted
-        return jitted
+        return fn
+
+    def _eval_fn(self, kind: str, name: Optional[str] = None, static_param=None):
+        """Build/cache a jitted (state-closed) eval function."""
+        cache_key = (kind, name, static_param)
+        if cache_key not in self._metric_cache:
+            self._metric_cache[cache_key] = jax.jit(
+                self._eval_fn_raw(kind, name, static_param)
+            )
+        return self._metric_cache[cache_key]
 
     def _run_sweep_point(self, kind: str, name: Optional[str], param) -> tuple:
         """Average (iou, pa, dice) over the split for one battery cell.
@@ -154,6 +161,104 @@ class Evaluator:
             n += 1
         return tuple(float(s / n) for s in sums)
 
+    # ------------------------------------------------- batched sweep path
+    def _staged_split(self):
+        """The whole split staged on device ONCE: full batches stacked as
+        (nb, b, ...) sharded (None, "data"), plus the replicated remainder
+        batch (or None).  Memoized; order matches BatchPipeline
+        (shuffle=False -> dataset order)."""
+        if getattr(self, "_staged", None) is not None:
+            return self._staged
+        imgs = np.asarray(self.test_data.images)
+        msks = np.asarray(self.test_data.masks)
+        b = self.batch_size
+        nb = len(imgs) // b
+        rep = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec()
+        )
+        # Same placement rule as the per-point pipeline: shard the batch
+        # dim over "data" when divisible, else replicate (identical math).
+        stack_sh = (
+            jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec(None, "data")
+            )
+            if b % self.mesh.shape["data"] == 0
+            else rep
+        )
+        full_i = jax.device_put(
+            imgs[: nb * b].reshape(nb, b, *imgs.shape[1:]), stack_sh
+        )
+        full_m = jax.device_put(
+            msks[: nb * b].reshape(nb, b, *msks.shape[1:]), stack_sh
+        )
+        rem = None
+        if len(imgs) % b:
+            rem = (
+                jax.device_put(imgs[nb * b :], rep),
+                jax.device_put(msks[nb * b :], rep),
+            )
+        self._staged = (full_i, full_m, rem, nb)
+        return self._staged
+
+    def _run_sweep_family(self, kind: str, name: Optional[str], params):
+        """All sweep points of one family in ONE device dispatch.
+
+        The per-point loop costs ~0.4-0.5 s of remote dispatch latency per
+        BATCH on the axon runtime — 640 dispatches for the 8x10 battery
+        against ~10 s of device compute.  This path stages the split once
+        and runs lax.map over the traced param vector x lax.scan over the
+        staged batches inside one jit: 1 dispatch + 1 device_get per
+        family.  Key schedule, batching semantics (per-batch metric means
+        averaged over batches, remainder included as one batch) and the
+        per-batch math are IDENTICAL to ``_run_sweep_point`` (parity
+        pinned in tests/test_evaluator.py).  Multi-process runs keep the
+        per-point path: staging global arrays per process is the
+        pipeline's job (see data/pipeline.py).
+        """
+        if jax.process_count() > 1:
+            return [self._run_sweep_point(kind, name, p) for p in params]
+        raw = self._eval_fn_raw(kind, name, None)
+        full_i, full_m, rem, nb = self._staged_split()
+        cache_key = (kind, name, "family", len(params), nb)
+        if cache_key not in self._metric_cache:
+
+            def family(full_i, full_m, rem, base_key, pvec):
+                def point(p):
+                    def body(carry, xs):
+                        i, im, mk = xs
+                        key = jax.random.fold_in(base_key, i)
+                        out = raw(im, mk.astype(jnp.int32), key, p)
+                        return carry + jnp.stack(out), None
+
+                    sums, _ = jax.lax.scan(
+                        body,
+                        jnp.zeros(3, jnp.float32),
+                        (jnp.arange(nb), full_i, full_m),
+                    )
+                    if rem is not None:
+                        key = jax.random.fold_in(base_key, nb)
+                        out = raw(
+                            rem[0], rem[1].astype(jnp.int32), key, p
+                        )
+                        sums = sums + jnp.stack(out)
+                    return sums
+
+                return jax.lax.map(point, pvec)
+
+            self._metric_cache[cache_key] = jax.jit(family)
+        pvec = jnp.asarray(
+            [float(p or 0.0) for p in params], jnp.float32
+        )
+        sums = np.asarray(
+            jax.device_get(
+                self._metric_cache[cache_key](
+                    full_i, full_m, rem, self.key, pvec
+                )
+            )
+        )
+        n = nb + (1 if rem is not None else 0)
+        return [tuple(float(v) / n for v in row) for row in sums]
+
     # ----------------------------------------------------------------- API
     def test(self) -> Dict[str, float]:
         """Clean-split IoU / PixelAcc / Dice (model_wrappers.py:341-404)."""
@@ -170,8 +275,8 @@ class Evaluator:
         results = {}
         for name, info in pert.FLOAT_SWEEPS.items():
             rows = []
-            for param in info["params"]:
-                iou_v, pa, dice = self._run_sweep_point("float", name, param)
+            pts = self._run_sweep_family("float", name, info["params"])
+            for param, (iou_v, pa, dice) in zip(info["params"], pts):
                 rows.append([param, iou_v, pa, dice])
             io_lib.write_rows_csv(
                 os.path.join(out_dir, f"{name}.csv"),
@@ -190,8 +295,8 @@ class Evaluator:
         results = {}
         for name, info in pert.INT_SWEEPS.items():
             per_param = []
-            for param in info["params"]:
-                _, _, dice = self._run_sweep_point("int", name, param)
+            pts = self._run_sweep_family("int", name, info["params"])
+            for param, (_, _, dice) in zip(info["params"], pts):
                 rows.append([name, param, f"{dice:.4f}"])
                 per_param.append((param, dice))
             results[name] = per_param

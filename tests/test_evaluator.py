@@ -53,6 +53,28 @@ class TestSweeps:
         keys = [k for k in evaluator._metric_cache if k[1] == "brightness_increase"]
         assert len(keys) == 1
 
+    def test_family_path_matches_per_point(self, evaluator):
+        """The one-dispatch family path (lax.map over params x lax.scan
+        over staged batches, incl. a replicated REMAINDER batch) must
+        reproduce the per-point per-batch loop: same key schedule, same
+        per-batch means averaged over the same batch count."""
+        ev = Evaluator(
+            evaluator.model,
+            jax.device_get(
+                {k: v for k, v in evaluator.state.items()}
+            ),
+            evaluator.test_data,
+            batch_size=4,  # length 6 -> batches (4, 2): remainder covered
+        )
+        for kind, name, params in [
+            ("int", "gaussian_noise", [4, 12]),
+            ("float", "contrast_decrease", [1.0, 0.6]),
+        ]:
+            fam = ev._run_sweep_family(kind, name, params)
+            pts = [ev._run_sweep_point(kind, name, p) for p in params]
+            for a, b in zip(fam, pts):
+                np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
     def test_robustness_csv_schema(self, evaluator, tmp_path):
         # restrict to two perturbations for speed
         from image_segmentation_tpu.data import perturbations as P
